@@ -1,0 +1,96 @@
+"""URL canonicalization (SURVEY.md §2 O-8, O-16).
+
+hiispider hashes raw request URLs for cache identity
+[hs: hiispider/pagegetter.py (request hash) †] and derives hosts with
+``urlparse(url).hostname`` [hs: hiispider/requestqueuer.py †]. We add an
+explicit canonicalization pass (mandated by BASELINE.json:6 —
+"canonicalization + 64-bit SipHash of URLs in vectorized Arrow UDFs")
+so that trivially-distinct spellings of the same URL dedup to one
+frontier entry:
+
+- scheme and host lowercased
+- default port stripped (``:80`` for http, ``:443`` for https)
+- fragment stripped
+- query parameters sorted by key (stable sort, preserves duplicates)
+- empty path normalized to ``/``
+
+Three implementations, all semantically identical (tests enforce it):
+
+1. :func:`canonicalize_url` — pure Python, the executable spec.
+2. :func:`canonicalize_udf` — Arrow ``pandas_udf`` batching (1) for use
+   inside the pipeline (no per-row Python from Spark's perspective:
+   one Python invocation per Arrow batch).
+3. :func:`canonical_url_col` — pure Column-expression variant (JVM-side,
+   WholeStageCodegen) covering the subset of rules that matter for the
+   synthetic corpus; used on the hot path and by oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonicalize one URL. Pure function; the executable spec."""
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    query = parts.query
+    if query:
+        # stable sort by key, duplicates preserved in original order
+        pairs = [p for p in query.split("&") if p]
+        pairs.sort(key=lambda kv: kv.split("=", 1)[0])
+        query = "&".join(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-batched canonicalization (one Python call per ~10k rows)."""
+    return urls.map(canonicalize_url)
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Column-expression canonicalization (JVM-side, codegen'd).
+
+    Covers: fragment strip, scheme+host lowercase, :80/:443 strip,
+    empty-path → "/". Query-param sorting is left to the UDF path —
+    the synthetic corpus has no query strings, and the pure-Python spec
+    remains the authority (test_canon cross-checks all three impls).
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    hostport = F.when(
+        (scheme == F.lit("http")) & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == F.lit("https")) & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.concat(scheme, F.lit("://"), hostport, rest)
+
+
+def host_col(url: Column) -> Column:
+    """Host of a URL — JVM-side ``parse_url`` (O-16), lowercased."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def path_col(url: Column) -> Column:
+    """Path of a URL (for robots prefix matching), '' → '/'."""
+    p = F.parse_url(url, F.lit("PATH"))
+    return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)

@@ -1,0 +1,174 @@
+"""Frontier: build, priority dequeue, requeue, merge (SURVEY.md §2
+O-1, O-15, O-18, O-21, O-22).
+
+The reference keeps recurring jobs in MySQL and a driver-side ``heapq``
+of (next_run_ts, uuid), popping all due entries per tick
+[hs: hiispider/servers/scheduler.py::SchedulerServer †]. A single
+in-memory heap cannot scale to a 10^10-URL frontier, so the Spark-native
+design is a **partitioned priority table**: salted host-hash bucketing
+(BASELINE.json:6) plus a per-partition windowed top-k dequeue — no
+global sort, no driver-side state.
+
+Determinism contract (BASELINE.json:14 "matching the reference's crawl
+ordering"): the dequeue order is a pure function of table state —
+``priority DESC, next_fetch_ts ASC, url_hash ASC`` within a partition,
+and ``part_id = pmod(xxhash64(host, salt), P)`` with
+``salt = pmod(xxhash64(url), n_salts)`` depends only on the URL, never
+on executor count. Tests assert identical dequeue order at local[8]
+and local[32].
+
+Scale notes:
+- top-k per partition is a window over each bucket — Spark evaluates it
+  partition-parallel after one hash exchange on ``part_id``; with the
+  frontier *stored* bucketed by ``part_id`` the exchange is metadata-only
+  on a real cluster (Iceberg bucket transform / bucketed table).
+- the hot-domain skew (host 0 ≈ 30% of URLs in the synthetic corpus) is
+  broken by the per-URL salt: one hot host fans out across ``n_salts``
+  buckets instead of melting one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hiispider_spark.functions.canon import canonical_url_col, host_col
+from hiispider_spark.functions.siphash import url_hash_udf
+from hiispider_spark.sources.synth import EPOCH0
+
+DEFAULT_PARTITIONS = 32
+DEFAULT_SALTS = 8
+DEFAULT_INTERVAL_S = 3600
+BACKOFF_BASE_S = 60
+
+
+def part_id_col(host: Column, salt: Column, n_partitions: int) -> Column:
+    """Salted host-hash bucket (BASELINE.json:6)."""
+    return F.pmod(F.xxhash64(host, salt), F.lit(n_partitions)).cast("int")
+
+
+def salt_col(url: Column, n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(url), F.lit(n_salts)).cast("int")
+
+
+def build_frontier(
+    seeds: DataFrame,
+    n_partitions: int = DEFAULT_PARTITIONS,
+    n_salts: int = DEFAULT_SALTS,
+    interval_s: int = DEFAULT_INTERVAL_S,
+) -> DataFrame:
+    """Seed list → frontier table (O-1 + O-21 initial load).
+
+    Canonicalizes (non-canonical spellings collapse), dedups keeping the
+    highest priority (deterministic), assigns identity hash + salted
+    bucket, schedules everything as due at EPOCH0.
+    """
+    canon = seeds.select(
+        canonical_url_col(F.col("url")).alias("url"), "priority"
+    )
+    dedup = canon.groupBy("url").agg(F.max("priority").alias("priority"))
+    url = F.col("url")
+    return (
+        dedup.withColumn("url_hash", url_hash_udf(url))
+        .withColumn("host", host_col(url))
+        .withColumn("salt", salt_col(url, n_salts))
+        .withColumn("part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions))
+        .withColumn("next_fetch_ts", F.lit(EPOCH0).cast("timestamp"))
+        .withColumn("interval_s", F.lit(interval_s))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+        .select(
+            "url", "url_hash", "host", "salt", "part_id", "priority",
+            "next_fetch_ts", "interval_s", "retry_count", "state",
+        )
+        .repartition(n_partitions, "part_id")
+    )
+
+
+def dequeue_topk(frontier: DataFrame, epoch_ts: str, k_per_partition: int) -> DataFrame:
+    """Per-partition priority top-k of due URLs (O-18).
+
+    Replaces the reference's global min-heap pop with a bucket-local
+    window — the global sort a naive ``orderBy(priority).limit(n)``
+    would shuffle is avoided; each bucket ranks independently.
+    """
+    due = frontier.filter(
+        (F.col("state") == "pending")
+        & (F.col("next_fetch_ts") <= F.lit(epoch_ts).cast("timestamp"))
+    )
+    w = Window.partitionBy("part_id").orderBy(
+        F.col("priority").desc(), F.col("next_fetch_ts").asc(), F.col("url_hash").asc()
+    )
+    return (
+        due.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_per_partition)
+        .drop("rn")
+    )
+
+
+def requeue_fetched(slice_df: DataFrame, epoch_ts: str) -> DataFrame:
+    """Successful fetches go back on the schedule at +interval (O-15),
+    mirroring the reference's heap re-push [hs: scheduler.py †]."""
+    return slice_df.withColumn(
+        "next_fetch_ts",
+        F.lit(epoch_ts).cast("timestamp")
+        + F.make_interval(secs=F.col("interval_s").cast("double")),
+    ).withColumn("retry_count", F.lit(0))
+
+
+def requeue_failed(slice_df: DataFrame, epoch_ts: str) -> DataFrame:
+    """Failed fetches: exponential backoff, capped retries (O-22).
+
+    Reference records errors in a negative cache + job history and
+    retries later [hs: hiispider/pagegetter.py †]; we push
+    ``next_fetch_ts`` out by BACKOFF_BASE * 2^retry and retire after 5.
+    """
+    retry = F.col("retry_count") + 1
+    return (
+        slice_df.withColumn(
+            "next_fetch_ts",
+            F.lit(epoch_ts).cast("timestamp")
+            + F.make_interval(
+                secs=(F.lit(BACKOFF_BASE_S) * F.pow(F.lit(2.0), retry)).cast("double")
+            ),
+        )
+        .withColumn("retry_count", retry.cast("int"))
+        .withColumn(
+            "state", F.when(retry >= 5, F.lit("failed")).otherwise(F.col("state"))
+        )
+    )
+
+
+def merge_new_urls(
+    frontier: DataFrame,
+    new_urls: DataFrame,
+    epoch_ts: str,
+    n_partitions: int = DEFAULT_PARTITIONS,
+    n_salts: int = DEFAULT_SALTS,
+    interval_s: int = DEFAULT_INTERVAL_S,
+    discovered_priority: float = 0.1,
+) -> DataFrame:
+    """Frontier merge (O-21): discovered URLs (column ``url``, already
+    canonical) that are not yet in the frontier are inserted as new
+    pending entries due next epoch; existing entries keep their schedule.
+
+    Anti-join on url_hash — at 10^10 scale the bloom prefilter
+    (operators.seen) cuts this probe by ~99% before the exact join.
+    """
+    url = F.col("url")
+    candidates = (
+        new_urls.select(url.alias("url"))
+        .dropDuplicates(["url"])
+        .withColumn("url_hash", url_hash_udf(url))
+        .join(frontier.select("url_hash"), "url_hash", "left_anti")
+        .withColumn("host", host_col(url))
+        .withColumn("salt", salt_col(url, n_salts))
+        .withColumn("part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions))
+        .withColumn("priority", F.lit(discovered_priority))
+        .withColumn("next_fetch_ts", F.lit(epoch_ts).cast("timestamp"))
+        .withColumn("interval_s", F.lit(interval_s))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+        .select(*frontier.columns)
+    )
+    return frontier.unionByName(candidates)

@@ -1,0 +1,152 @@
+"""Per-host politeness: robots.txt rules + crawl-delay token buckets
+inside ``groupBy(host).applyInPandas`` (SURVEY.md §2 O-7, O-9, O-9n).
+
+The reference throttles with in-memory per-host deques and counters
+inside a single Twisted process — ``max_requests_per_host_per_second``,
+``max_simultaneous_requests_per_host``
+[hs: hiispider/requestqueuer.py::RequestQueuer †] — and has no robots
+support. BASELINE.json:6 mandates both for us: "per-host politeness
+(robots.txt rules + crawl-delay token buckets) enforced inside
+groupBy(host) applyInPandas batches replacing hiispider's Twisted
+deferred queue".
+
+Semantics (deterministic, cross-epoch):
+- robots: a URL is denied iff any rule with allow=false has a prefix
+  matching the URL path (pure Column expression — JVM-side, no UDF).
+- token bucket per host: ``tokens = min(cap, tokens_prev + elapsed /
+  crawl_delay)``; the top ``floor(tokens)`` rows by (priority DESC,
+  url_hash ASC) are granted this epoch, the rest are deferred;
+  ``cap = EPOCH_SECONDS / crawl_delay`` (one epoch's worth).
+  State persists in the ``politeness`` table (read-modify-write per
+  epoch) — deliberately NOT ``applyInPandasWithState``, so politeness
+  survives job restarts via storage (BASELINE.json:14 "resumable from
+  checkpoint").
+
+Skew note: ``groupBy(host)`` must shuffle by host (the semantics are
+per-host), but group *sizes* are already bounded — the input is the
+post-dequeue slice (≤ k per frontier bucket), so a hot host contributes
+at most k × n_salts rows, not 30% of the corpus. The salted frontier
+bucketing upstream is what makes this group-by safe at 10^10 scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hiispider_spark.functions.canon import path_col
+from hiispider_spark.sources.synth import EPOCH_SECONDS
+
+DEFAULT_CRAWL_DELAY = 1.0
+
+
+def robots_deny_col(rules_col, path_col_):
+    """True iff any disallow rule's prefix matches the path (O-9n).
+
+    Pure Column expression → WholeStageCodegen, no Python.
+    """
+    return F.exists(
+        rules_col, lambda r: (~r["allow"]) & path_col_.startswith(r["prefix"])
+    )
+
+
+def split_robots(slice_df: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(allowed_with_crawl_delay, robots_denied).
+
+    robots is one row per host — small relative to the slice → broadcast.
+    Hosts without robots rows are allowed with the default crawl delay.
+    """
+    joined = slice_df.join(F.broadcast(robots), "host", "left")
+    deny = F.when(
+        F.col("rules").isNotNull(),
+        robots_deny_col(F.col("rules"), path_col(F.col("url"))),
+    ).otherwise(F.lit(False))
+    joined = joined.withColumn("_deny", deny).withColumn(
+        "crawl_delay",
+        F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY)),
+    )
+    allowed = joined.filter(~F.col("_deny")).drop("_deny", "rules")
+    denied = (
+        joined.filter(F.col("_deny"))
+        .drop("_deny", "rules", "crawl_delay")
+        .withColumn("state", F.lit("robots_denied"))
+    )
+    return allowed, denied
+
+
+def apply_token_buckets(
+    allowed: DataFrame,
+    politeness_state: DataFrame,
+    epoch_ts: str,
+    epoch_seconds: float = EPOCH_SECONDS,
+) -> DataFrame:
+    """Token-bucket grant inside groupBy(host).applyInPandas.
+
+    Input: slice columns + ``crawl_delay`` (from split_robots).
+    Output: input frontier columns + ``granted`` boolean +
+    ``tokens_left`` / ``bucket_cap`` (per-host state echoed on every row
+    so the caller can derive the next ``politeness`` snapshot without a
+    second shuffle).
+    """
+    state = politeness_state.select(
+        "host",
+        F.col("tokens").alias("_tokens_prev"),
+        F.col("last_refill").alias("_last_refill"),
+    )
+    with_state = allowed.join(F.broadcast(state), "host", "left")
+
+    frontier_cols = [c for c in allowed.columns if c != "crawl_delay"]
+    out_fields = [with_state.schema[c] for c in frontier_cols] + [
+        T.StructField("crawl_delay", T.DoubleType(), False),
+        T.StructField("granted", T.BooleanType(), False),
+        T.StructField("tokens_left", T.DoubleType(), False),
+        T.StructField("bucket_cap", T.DoubleType(), False),
+    ]
+    out_schema = T.StructType(out_fields)
+    epoch_pd = pd.Timestamp(epoch_ts)
+
+    def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        delay = float(pdf["crawl_delay"].iloc[0])
+        # burst capacity: one epoch's worth, but never below 1 token or
+        # a slow host (crawl_delay > epoch) could starve forever
+        cap = max(1.0, epoch_seconds / max(delay, 1e-9))
+        tokens_prev = pdf["_tokens_prev"].iloc[0]
+        last_refill = pdf["_last_refill"].iloc[0]
+        if pd.isna(tokens_prev) or pd.isna(last_refill):
+            tokens = cap  # first sighting: full bucket
+        else:
+            elapsed = (epoch_pd - last_refill).total_seconds()
+            tokens = min(cap, float(tokens_prev) + elapsed / max(delay, 1e-9))
+        budget = int(np.floor(tokens))
+        # deterministic per-group order (SURVEY.md §4): priority DESC,
+        # url_hash ASC — same tie-break as the dequeue window
+        pdf = pdf.sort_values(
+            ["priority", "url_hash"], ascending=[False, True], kind="mergesort"
+        )
+        n = len(pdf)
+        granted = np.zeros(n, dtype=bool)
+        granted[: min(budget, n)] = True
+        out = pdf[frontier_cols].copy()
+        out["crawl_delay"] = delay
+        out["granted"] = granted
+        out["tokens_left"] = tokens - float(granted.sum())
+        out["bucket_cap"] = cap
+        return out
+
+    return with_state.groupBy("host").applyInPandas(per_host, out_schema)
+
+
+def next_politeness_state(bucketed: DataFrame, epoch_ts: str) -> DataFrame:
+    """Next ``politeness`` snapshot from the echoed per-row state."""
+    return (
+        bucketed.groupBy("host")
+        .agg(
+            F.first("crawl_delay").alias("crawl_delay"),
+            F.first("tokens_left").alias("tokens"),
+        )
+        .withColumn("last_refill", F.lit(epoch_ts).cast("timestamp"))
+        .select("host", "crawl_delay", "tokens", "last_refill")
+    )

@@ -1,0 +1,219 @@
+"""The crawl epoch — a Structured-Streaming-style micro-batch
+(SURVEY.md §2 O-2, O-25; §3.1).
+
+One epoch replaces one scheduler tick + AMQP round-trip + worker fan-out
+of the reference [hs: hiispider/servers/scheduler.py †, hs:
+hiispider/amqp.py †]:
+
+    frontier ── dequeue top-k per bucket ── robots ── token buckets ──
+    fetch(join pages) ── sha1 change filter ── extract plugins ──
+    delta/out-links ── frontier merge ── atomic snapshot commit
+
+All state (frontier, politeness, seen, lineage, extracted) lives in
+IcebergLike tables; the manifest swap at the end is the only commit
+point, so a run killed mid-epoch resumes from the previous epoch with
+byte-identical results (BASELINE.json:6 "runs resume exactly" —
+verified by tests/test_resume.py).
+
+Determinism: ``epoch_ts`` is a pure function of the epoch counter (no
+wall clock); every ordering has an explicit total tie-break; nothing
+depends on partition count or executor count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hiispider_spark.functions.canon import canonical_url_col
+from hiispider_spark.operators import politeness as pol
+from hiispider_spark.operators import seen as seen_ops
+from hiispider_spark.operators.delta import explode_items
+from hiispider_spark.operators.fetch import (
+    fetch_join,
+    split_modified,
+    with_content_sha1,
+)
+from hiispider_spark.operators.extract import run_extraction
+from hiispider_spark.operators.frontier import (
+    build_frontier,
+    dequeue_topk,
+    merge_new_urls,
+    requeue_failed,
+    requeue_fetched,
+)
+from hiispider_spark.operators.lineage import build_lineage
+from hiispider_spark.sources.catalog import IcebergLike
+from hiispider_spark.sources.synth import EPOCH0, EPOCH_SECONDS
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "salt", "part_id", "priority",
+    "next_fetch_ts", "interval_s", "retry_count", "state",
+]
+
+
+@dataclass(frozen=True)
+class EpochConfig:
+    k_per_partition: int = 64
+    n_partitions: int = 32
+    n_salts: int = 8
+    interval_s: int = 3600
+    epoch_seconds: float = EPOCH_SECONDS
+    bloom_m_bits: int = seen_ops.DEFAULT_M_BITS
+    follow_links: bool = True
+
+
+def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
+    t0 = datetime.fromisoformat(EPOCH0)
+    return (t0 + timedelta(seconds=epoch * epoch_seconds)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def bootstrap(
+    spark: SparkSession,
+    cat: IcebergLike,
+    seeds: DataFrame,
+    cfg: EpochConfig = EpochConfig(),
+) -> None:
+    """Epoch 0: seed list → frontier + seen set; atomic initial commit."""
+    frontier = build_frontier(
+        seeds, cfg.n_partitions, cfg.n_salts, cfg.interval_s
+    )
+    cat.stage_overwrite("frontier", frontier)
+    frontier_c = cat.read_staged("frontier")  # materialized once on disk
+    cat.stage_overwrite("seen_exact", frontier_c.select("url_hash"))
+    cat.stage_overwrite(
+        "seen_set",
+        seen_ops.build_partition_blooms(frontier_c, cfg.bloom_m_bits),
+    )
+    cat.commit(epoch=0)
+
+
+def run_epoch(
+    spark: SparkSession,
+    cat: IcebergLike,
+    pages: DataFrame,
+    robots: DataFrame,
+    cfg: EpochConfig = EpochConfig(),
+) -> dict:
+    """Process the next epoch; returns summary counters."""
+    e = cat.epoch + 1
+    ts = epoch_timestamp(e, cfg.epoch_seconds)
+
+    frontier = cat.read("frontier")
+    sl = dequeue_topk(frontier, ts, cfg.k_per_partition).persist()
+
+    # politeness: robots prefix rules then per-host token buckets
+    allowed, denied = pol.split_robots(sl, robots)
+    bucketed = pol.apply_token_buckets(
+        allowed, cat.read("politeness"), ts, cfg.epoch_seconds
+    ).persist()
+    granted = bucketed.filter(F.col("granted")).select(*FRONTIER_COLS)
+    deferred = bucketed.filter(~F.col("granted")).select(*FRONTIER_COLS)
+
+    # fetch = join against the page store; sha1 change detection
+    fetched, failed = fetch_join(granted, pages)
+    fetched = with_content_sha1(fetched).persist()
+    cache = (
+        cat.read("extracted")
+        .groupBy("url_hash")
+        .agg(F.max_by("content_sha1", "epoch").alias("content_sha1"))
+    )
+    modified, unchanged = split_modified(fetched, cache)
+
+    extracted_new = run_extraction(modified, e).persist()
+
+    # frontier write-back: untouched ∪ requeued ∪ backoff ∪ denied ∪ deferred
+    untouched = frontier.join(sl.select("url_hash"), "url_hash", "left_anti")
+    requeued = requeue_fetched(
+        fetched.select(*FRONTIER_COLS), ts
+    )
+    backoff = requeue_failed(failed.select(*FRONTIER_COLS), ts)
+    new_frontier = (
+        untouched.select(*FRONTIER_COLS)
+        .unionByName(requeued.select(*FRONTIER_COLS))
+        .unionByName(backoff.select(*FRONTIER_COLS))
+        .unionByName(denied.select(*FRONTIER_COLS))
+        .unionByName(deferred)
+    )
+
+    # discovered out-links → canonicalize → unseen → merge (O-20/O-21)
+    if cfg.follow_links:
+        links = (
+            explode_items(extracted_new)
+            .select(canonical_url_col(F.col("payload")).alias("url"))
+            .dropDuplicates(["url"])
+        )
+        seen_exact = cat.read("seen_exact")
+        bloom = seen_ops.union_blooms_tree(cat.read("seen_set"), cfg.bloom_m_bits)
+        from hiispider_spark.functions.siphash import url_hash_udf
+
+        hashed = links.withColumn("url_hash", url_hash_udf(F.col("url")))
+        unseen = seen_ops.filter_unseen(
+            hashed, seen_exact, spark, bloom, cfg.bloom_m_bits
+        )
+        new_frontier = merge_new_urls(
+            new_frontier, unseen.select("url"), ts,
+            cfg.n_partitions, cfg.n_salts, cfg.interval_s,
+        )
+
+    new_frontier = new_frontier.repartition(cfg.n_partitions, "part_id")
+
+    # politeness state: updated hosts replace, absent hosts carry over
+    new_state = pol.next_politeness_state(bucketed, ts)
+    carried = cat.read("politeness").join(
+        new_state.select("host"), "host", "left_anti"
+    )
+    politeness_next = new_state.unionByName(carried)
+
+    # lineage (per-bucket metrics)
+    extracted_with_part = extracted_new.join(
+        sl.select("url_hash", "part_id"), "url_hash", "inner"
+    )
+    lin = build_lineage(sl, fetched, extracted_with_part, failed, e, ts)
+
+    # stage + atomic commit
+    cat.stage_overwrite("frontier", new_frontier)
+    cat.stage_overwrite("politeness", politeness_next)
+    cat.stage_append("extracted", extracted_new)
+    cat.stage_append("lineage", lin)
+    # seen set: rebuilt from the staged frontier (frontier rows are
+    # never deleted, so frontier membership == URLs ever seen).
+    # TODO(scale): OR the new URLs' bits into the existing per-partition
+    # blooms instead of rebuilding — O(new) instead of O(frontier).
+    staged_frontier = cat.read_staged("frontier")
+    cat.stage_overwrite("seen_exact", staged_frontier.select("url_hash"))
+    cat.stage_overwrite(
+        "seen_set",
+        seen_ops.build_partition_blooms(staged_frontier, cfg.bloom_m_bits),
+    )
+
+    stats = {
+        "epoch": e,
+        "epoch_ts": ts,
+        "n_dequeued": sl.count(),
+        "n_granted": granted.count(),
+        "n_fetched": fetched.count(),
+        "n_extracted": extracted_new.count(),
+        "frontier_size": staged_frontier.count(),
+    }
+    cat.commit(epoch=e)
+    for df in (sl, bucketed, fetched, extracted_new):
+        df.unpersist()
+    return stats
+
+
+def run_epochs(
+    spark: SparkSession,
+    cat: IcebergLike,
+    pages: DataFrame,
+    robots: DataFrame,
+    n_epochs: int,
+    cfg: EpochConfig = EpochConfig(),
+) -> list[dict]:
+    """Drive n micro-batches (the foreachBatch-style loop, O-2/O-28)."""
+    return [run_epoch(spark, cat, pages, robots, cfg) for _ in range(n_epochs)]

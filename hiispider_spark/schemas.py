@@ -1,0 +1,130 @@
+"""Fixed StructType schemas for every engine table (SURVEY.md §1).
+
+The reference (hiidef/hiispider) is schema-dynamic — Python dicts flowing
+through Twisted Deferreds [hs: hiispider/pagegetter.py †]. We pin typed
+schemas because the north-rule invariants (byte-identical extracted text,
+exact dequeue ordering, exact URL-seen membership — BASELINE.json:14,15)
+require a deterministic typed contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# D2 — Common-Crawl-style page store; exactly the BASELINE.json:15 hint.
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ]
+)
+
+# D1 — the priority frontier (hiispider's MySQL job table + scheduler heap).
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("next_fetch_ts", T.TimestampType(), False),
+        T.StructField("interval_s", T.IntegerType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+        T.StructField("state", T.StringType(), False),
+    ]
+)
+
+SEEDS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+    ]
+)
+
+ROBOTS_RULE = T.StructType(
+    [
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("prefix", T.StringType(), False),
+    ]
+)
+
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("rules", T.ArrayType(ROBOTS_RULE), False),
+        T.StructField("crawl_delay", T.DoubleType(), False),
+    ]
+)
+
+# D3 — URL-seen set: per-partition Bloom filter bytes + exact backstop.
+SEEN_SET = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("bloom", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("fpp", T.DoubleType(), False),
+    ]
+)
+
+SEEN_EXACT = T.StructType([T.StructField("url_hash", T.LongType(), False)])
+
+# D7 — politeness token-bucket state, persisted across epochs.
+POLITENESS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("crawl_delay", T.DoubleType(), False),
+        T.StructField("tokens", T.DoubleType(), False),
+        T.StructField("last_refill", T.TimestampType(), False),
+    ]
+)
+
+# D4/D5 — extracted results (+ per-item rows for delta computation).
+EXTRACTED_ITEM = T.StructType(
+    [
+        T.StructField("item_hash", T.LongType(), False),
+        T.StructField("payload", T.StringType(), False),
+    ]
+)
+
+EXTRACTED = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("plugin", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("items", T.ArrayType(EXTRACTED_ITEM), True),
+        T.StructField("content_sha1", T.StringType(), False),
+        T.StructField("epoch", T.LongType(), False),
+    ]
+)
+
+# D6 — per-partition per-epoch lineage/metrics (BASELINE.json:14).
+LINEAGE = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_dequeued", T.LongType(), False),
+        T.StructField("n_fetched", T.LongType(), False),
+        T.StructField("n_extracted", T.LongType(), False),
+        T.StructField("n_errors", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("t_start", T.TimestampType(), False),
+        T.StructField("t_end", T.TimestampType(), False),
+    ]
+)
+
+ALL_TABLES = {
+    "pages": PAGES,
+    "frontier": FRONTIER,
+    "seeds": SEEDS,
+    "robots": ROBOTS,
+    "seen_set": SEEN_SET,
+    "seen_exact": SEEN_EXACT,
+    "politeness": POLITENESS,
+    "extracted": EXTRACTED,
+    "lineage": LINEAGE,
+}

@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+Deterministic, oracle-friendly (UTC timestamps), Arrow-enabled, AQE on.
+Local-mode parallelism comes from ``cpus``; on a real cluster the same
+configs apply and ``master`` is supplied by spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Number of shuffle partitions doubles as the frontier bucket count P in
+# sandbox runs; at 10^10-URL scale P would be O(10k) and set at table
+# creation, independent of executor count (ordering must be a pure
+# function of table state, never of parallelism — SURVEY.md §7).
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app: str = "hiispider_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html:binary flows through Arrow batches — cap batch size so a
+        # batch of page bodies stays well under executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

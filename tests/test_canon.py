@@ -1,0 +1,66 @@
+"""URL canonicalization — table-driven spec + three-impl equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiispider_spark.functions.canon import (
+    canonical_url_col,
+    canonicalize_udf,
+    canonicalize_url,
+)
+
+CASES = [
+    ("http://Example.ORG/p/1", "http://example.org/p/1"),
+    ("HTTP://EXAMPLE.ORG/p/1", "http://example.org/p/1"),
+    ("http://example.org:80/p/1", "http://example.org/p/1"),
+    ("https://example.org:443/a", "https://example.org/a"),
+    ("https://example.org:8443/a", "https://example.org:8443/a"),
+    ("http://example.org:8080/x", "http://example.org:8080/x"),
+    ("http://example.org/p/1#frag", "http://example.org/p/1"),
+    ("http://example.org/p/1#a#b", "http://example.org/p/1"),
+    ("http://example.org", "http://example.org/"),
+    ("http://example.org#f", "http://example.org/"),
+    ("http://example.org/A/B", "http://example.org/A/B"),  # path case kept
+    ("http://example.org/p?b=2&a=1", "http://example.org/p?a=1&b=2"),
+    ("http://example.org/p?b=2&a=1&a=0", "http://example.org/p?a=1&a=0&b=2"),
+    ("  http://example.org/x ", "http://example.org/x"),
+    ("HTTP://H0000.EXAMPLE.ORG:80/p/0#frag", "http://h0000.example.org/p/0"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_pure_python_spec(raw, expected):
+    assert canonicalize_url(raw) == expected
+
+
+def test_idempotent():
+    for raw, expected in CASES:
+        assert canonicalize_url(expected) == expected
+
+
+def test_udf_matches_spec(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "url string")
+    got = [r.c for r in df.select(canonicalize_udf("url").alias("c")).collect()]
+    assert got == [e for _, e in CASES]
+
+
+def test_column_expr_matches_spec_on_no_query_urls(spark):
+    # the Column twin covers the corpus subset: no query strings
+    subset = [(r, e) for r, e in CASES if "?" not in r and r == r.strip()]
+    df = spark.createDataFrame(subset, "url string, expected string")
+    bad = df.filter(canonical_url_col(F.col("url")) != F.col("expected"))
+    assert bad.count() == 0
+
+
+def test_three_impls_agree_on_corpus(spark, tiny_seeds):
+    df = tiny_seeds.select(
+        "url",
+        canonicalize_udf("url").alias("a"),
+        canonical_url_col(F.col("url")).alias("b"),
+    )
+    assert df.filter(F.col("a") != F.col("b")).count() == 0
+    rows = df.collect()
+    for r in rows:
+        assert r.a == canonicalize_url(r.url)

@@ -1,0 +1,74 @@
+"""Extraction plugins — the byte-identical invariant (BASELINE.json:15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators.extract import (
+    evaluate_boolean_col,
+    links_extract_udf,
+    text_extract_col,
+    text_extract_udf,
+    title_extract_udf,
+)
+
+
+def test_text_extraction_byte_identical(spark, tiny_pages):
+    """extract(html) == pages.text, compared on UTF-8 bytes."""
+    got = tiny_pages.select(
+        "url",
+        text_extract_udf("html").alias("extracted"),
+        F.col("text").alias("expected"),
+    )
+    bad = got.filter(
+        F.encode("extracted", "UTF-8") != F.encode("expected", "UTF-8")
+    )
+    assert bad.count() == 0
+
+
+def test_column_twin_matches_udf(spark, tiny_pages):
+    df = tiny_pages.select(
+        text_extract_udf("html").alias("a"),
+        text_extract_col(F.col("html")).alias("b"),
+    )
+    assert df.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_links_extraction(spark, tiny_pages):
+    row = tiny_pages.filter("i = 1").select(
+        links_extract_udf("html").alias("links")
+    ).first()
+    # page 1 links to pages (7*1+1)=8 and (13*1+2)=15 (n=400 corpus)
+    assert len(row.links) == 2
+    assert row.links[0].endswith("/p/8")
+    assert row.links[1].endswith("/p/15")
+
+
+def test_title_plugin_none_when_absent(spark, tiny_pages):
+    out = tiny_pages.limit(5).select(title_extract_udf("html").alias("t"))
+    assert all(r.t is None for r in out.collect())
+    df = spark.createDataFrame(
+        [(b"<html><title>Hello</title></html>",)], "html binary"
+    )
+    assert df.select(title_extract_udf("html").alias("t")).first().t == "Hello"
+
+
+def test_utf8_robustness(spark):
+    df = spark.createDataFrame(
+        [
+            ("<b>café 中文</b>".encode(),),
+            (b"<b>broken \xff bytes</b>",),
+        ],
+        "html binary",
+    )
+    rows = df.select(text_extract_udf("html").alias("t")).collect()
+    assert rows[0].t == "café 中文"
+    assert "broken � bytes" == rows[1].t  # errors='replace', never throws
+
+
+def test_evaluate_boolean(spark):
+    df = spark.createDataFrame(
+        [("true",), ("YES",), ("1",), ("false",), ("0",), ("",)], "v string"
+    )
+    got = [r.b for r in df.select(evaluate_boolean_col(F.col("v")).alias("b")).collect()]
+    assert got == [True, True, True, False, False, False]

@@ -1,0 +1,94 @@
+"""Frontier build / dequeue determinism / requeue arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators.frontier import (
+    build_frontier,
+    dequeue_topk,
+    merge_new_urls,
+    requeue_failed,
+    requeue_fetched,
+)
+from hiispider_spark.sources.synth import EPOCH0
+
+
+def test_build_dedups_noncanonical_variants(spark, tiny_seeds):
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    # 400-page corpus: 40 canonical seeds + 4 variants collapsing into them
+    assert fr.count() == 40
+    assert fr.filter(F.col("url").contains("HTTP")).count() == 0
+    assert fr.filter(F.col("url").contains(":80")).count() == 0
+    # the variant targets kept the canonical (higher) priority
+    assert fr.filter(F.col("priority") < 1.0).count() == 0
+    # identity + partitioning are total functions of the url
+    assert fr.select("url_hash").distinct().count() == 40
+    assert fr.filter(
+        (F.col("part_id") < 0) | (F.col("part_id") >= 8)
+    ).count() == 0
+
+
+def test_dequeue_order_is_partition_count_invariant(spark, tiny_seeds):
+    """The north-rule ordering guarantee: dequeue output is a pure
+    function of table state, not of physical parallelism."""
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    ts = "2024-01-01 00:01:00"
+
+    def run(df):
+        out = dequeue_topk(df, ts, 3)
+        return sorted(
+            (r.part_id, r.priority, r.url_hash) for r in out.collect()
+        )
+
+    a = run(fr.repartition(2))
+    b = run(fr.repartition(17))
+    c = run(fr.coalesce(1))
+    assert a == b == c
+    # and ranking within a bucket is by priority desc
+    out = dequeue_topk(fr, ts, 3)
+    per_part = (
+        out.groupBy("part_id").agg(F.min("priority").alias("mn")).collect()
+    )
+    due = fr
+    for row in per_part:
+        above = due.filter(
+            (F.col("part_id") == row.part_id) & (F.col("priority") > row.mn)
+        ).count()
+        assert above <= 3
+
+
+def test_dequeue_respects_due_time(spark, tiny_seeds):
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    future = fr.withColumn(
+        "next_fetch_ts", F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    assert dequeue_topk(future, "2024-01-01 00:01:00", 10).count() == 0
+    assert dequeue_topk(fr, EPOCH0, 10).count() > 0
+
+
+def test_requeue_arithmetic(spark, tiny_seeds):
+    fr = build_frontier(tiny_seeds, n_partitions=8).limit(5)
+    ts = "2024-01-01 00:01:00"
+    rq = requeue_fetched(fr, ts).collect()
+    for r in rq:
+        assert str(r.next_fetch_ts) == "2024-01-01 01:01:00"  # +3600s
+        assert r.retry_count == 0
+    bk = requeue_failed(fr, ts).collect()
+    for r in bk:
+        assert r.retry_count == 1
+        assert str(r.next_fetch_ts) == "2024-01-01 00:03:00"  # +60*2^1
+    # 5th failure retires the entry
+    tired = fr.withColumn("retry_count", F.lit(4))
+    assert all(r.state == "failed" for r in requeue_failed(tired, ts).collect())
+
+
+def test_merge_new_urls_is_idempotent(spark, tiny_seeds):
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    new = spark.createDataFrame(
+        [("http://h0001.example.org/new/1",), (fr.first().url,)], "url string"
+    )
+    merged = merge_new_urls(fr, new, "2024-01-01 00:01:00", 8)
+    assert merged.count() == fr.count() + 1
+    again = merge_new_urls(merged, new, "2024-01-01 00:02:00", 8)
+    assert again.count() == merged.count()

@@ -1,0 +1,89 @@
+"""Robots rules + token-bucket budgets, determinism, cross-epoch carry."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators.frontier import build_frontier, dequeue_topk
+from hiispider_spark.operators.politeness import (
+    apply_token_buckets,
+    next_politeness_state,
+    split_robots,
+)
+from hiispider_spark.schemas import POLITENESS
+
+
+def _slice(spark, tiny_seeds):
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    return dequeue_topk(fr, "2024-01-01 00:01:00", 64)
+
+
+def test_robots_denial(spark, tiny_seeds, tiny_robots):
+    sl = _slice(spark, tiny_seeds)
+    allowed, denied = split_robots(sl, tiny_robots)
+    assert allowed.count() + denied.count() == sl.count()
+    # hosts h0000/h0007 disallow path prefix /p/1
+    for r in denied.collect():
+        assert r.state == "robots_denied"
+        host_id = int(r.host[1:5])
+        assert host_id % 7 == 0
+        assert r.url.split(".org")[1].startswith("/p/1")
+    # no allowed row violates a disallow rule
+    for r in allowed.select("host", "url").collect():
+        host_id = int(r.host[1:5])
+        if host_id % 7 == 0:
+            assert not r.url.split(".org")[1].startswith("/p/1")
+
+
+def test_token_budget_per_host(spark, tiny_seeds, tiny_robots):
+    sl = _slice(spark, tiny_seeds)
+    allowed, _ = split_robots(sl, tiny_robots)
+    empty_state = spark.createDataFrame([], POLITENESS)
+    out = apply_token_buckets(allowed, empty_state, "2024-01-01 00:01:00", 60.0)
+    per_host = (
+        out.groupBy("host", "crawl_delay")
+        .agg(
+            F.sum(F.col("granted").cast("int")).alias("n_granted"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_host) > 0
+    for r in per_host:
+        budget = max(1, math.floor(60.0 / r.crawl_delay))
+        assert r.n_granted == min(budget, r.n)
+
+
+def test_grant_order_prefers_priority(spark, tiny_seeds, tiny_robots):
+    sl = _slice(spark, tiny_seeds)
+    allowed, _ = split_robots(sl, tiny_robots)
+    empty_state = spark.createDataFrame([], POLITENESS)
+    out = apply_token_buckets(allowed, empty_state, "2024-01-01 00:01:00", 60.0)
+    rows = out.collect()
+    by_host: dict[str, list] = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        granted = {(r.priority, r.url_hash) for r in rs if r.granted}
+        denied = {(r.priority, r.url_hash) for r in rs if not r.granted}
+        # every granted row outranks every non-granted row
+        for g in granted:
+            for d in denied:
+                assert (-g[0], g[1]) < (-d[0], d[1])
+
+
+def test_cross_epoch_token_carry(spark, tiny_seeds, tiny_robots):
+    """A host with crawl_delay > epoch length fetches every other epoch."""
+    sl = _slice(spark, tiny_seeds).limit(3).withColumn("host", F.lit("slow.example"))
+    allowed = sl.withColumn("crawl_delay", F.lit(90.0))
+    empty = spark.createDataFrame([], POLITENESS)
+    e1 = apply_token_buckets(allowed, empty, "2024-01-01 00:01:00", 60.0)
+    assert e1.filter("granted").count() == 1  # cap clamps to 1 token
+    state1 = next_politeness_state(e1, "2024-01-01 00:01:00")
+    e2 = apply_token_buckets(allowed, state1, "2024-01-01 00:02:00", 60.0)
+    assert e2.filter("granted").count() == 0  # only 60/90 tokens refilled
+    state2 = next_politeness_state(e2, "2024-01-01 00:02:00")
+    e3 = apply_token_buckets(allowed, state2, "2024-01-01 00:03:00", 60.0)
+    assert e3.filter("granted").count() == 1  # bucket refilled past 1.0
