@@ -1,38 +1,684 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl-epoch query at sf0.001.
+``queries()`` exposes every oracle-checkable operator from SURVEY.md §2
+plus the training-data operators (dedup / similarity / text-stats);
+``oracle_sql()`` carries the DuckDB twins. Crawl tables are synthesized
+deterministically from the driver's ``lineitem``/``documents`` views by
+:mod:`hiispider_spark.sources.synth`, whose rules are mirrored SQL-side
+by ``oracle_ctes()`` — so crawl operators get real value-level oracles.
+
+Non-SQL-expressible ops (SipHash identity, bloom bytes, MinHash/SimHash
+band hashing via xxhash64, IVF ANN, multimodal featurization, the
+stateful epoch loop) appear in ``queries()`` without an oracle entry →
+the driver records rows-only checks; their exact semantics are covered
+by `python -m pytest -x -q` instead (tests/golden/).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hiispider_spark.functions.canon import canonical_url_col, host_col, path_col
+from hiispider_spark.operators import dedup as dd
+from hiispider_spark.operators import politeness as pol
+from hiispider_spark.operators import similarity as sim
+from hiispider_spark.operators import textstats as ts
+from hiispider_spark.operators.extract import (
+    links_extract_udf,
+    run_extraction,
+    text_extract_udf,
+)
+from hiispider_spark.operators.fetch import fetch_join, with_content_sha1
+from hiispider_spark.operators.frontier import (
+    build_frontier,
+    dequeue_topk,
+    merge_new_urls,
+    requeue_fetched,
+)
+from hiispider_spark.operators.multimodal import extract_media_features, synth_media
+from hiispider_spark.schemas import POLITENESS
+from hiispider_spark.sources.synth import (
+    SynthConfig,
+    oracle_ctes,
+    synth_pages,
+    synth_robots,
+    synth_seeds,
+)
+
+EPOCH1_TS = "2024-01-01 00:01:00"
+BIG_K = 1 << 30  # "dequeue everything due" for closed-form oracle queries
 
 
+# --------------------------------------------------------------------- util
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_frontier(synth_seeds(spark, sf_dir))
+
+
+# DuckDB twin of canonical_url_col (same regexes, same branch rules)
+_SQL_CANON = """
+  canon AS (
+    SELECT priority, url AS raw,
+      lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+    FROM seeds_o
+  ),
+  canon2 AS (
+    SELECT priority,
+      scheme || '://' ||
+      CASE WHEN scheme = 'http'  AND hostport LIKE '%:80'  THEN substr(hostport, 1, length(hostport) - 3)
+           WHEN scheme = 'https' AND hostport LIKE '%:443' THEN substr(hostport, 1, length(hostport) - 4)
+           ELSE hostport END ||
+      CASE WHEN rest = '' THEN '/' ELSE rest END AS url
+    FROM canon
+  ),
+  canon_seeds AS (
+    SELECT url, max(priority) AS priority FROM canon2 GROUP BY url
+  )"""
+
+# DuckDB twin of the politeness grant (robots + token bucket, epoch 1,
+# empty prior state, tie_break = url)
+_SQL_GRANT = f"""
+  cand AS (
+    SELECT c.url, c.priority,
+           lower(regexp_extract(c.url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+           regexp_extract(c.url, '://[^/]*(/.*)$', 1) AS path
+    FROM canon_seeds c
+  ),
+  pol AS (
+    SELECT cand.*, r.crawl_delay, r.disallow_prefix,
+           greatest(1, CAST(floor(60.0 / r.crawl_delay) AS BIGINT)) AS budget
+    FROM cand JOIN robots_o r USING (host)
+  ),
+  pol_allowed AS (
+    SELECT * FROM pol
+    WHERE disallow_prefix IS NULL OR path NOT LIKE disallow_prefix || '%'
+  ),
+  granted AS (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
+    FROM pol_allowed
+  )"""
+
+
+def _flagship_epoch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One closed-form crawl epoch through the real operators:
+    seeds → frontier → dequeue → robots → token buckets → fetch join →
+    sha1 → extract plugins. Output (url, text, content_sha1)."""
+    cfg = SynthConfig.from_sf_dir(spark, sf_dir)
+    pages = synth_pages(spark, sf_dir, cfg)
+    robots = synth_robots(spark, sf_dir, cfg)
+    fr = _frontier(spark, sf_dir)
+    sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
+    allowed, _denied = pol.split_robots(sl, robots)
+    empty_state = spark.createDataFrame([], POLITENESS)
+    bucketed = pol.apply_token_buckets(
+        allowed, empty_state, EPOCH1_TS, 60.0, tie_break="url"
+    )
+    granted = bucketed.filter(F.col("granted")).select(*fr.columns)
+    fetched, _failed = fetch_join(granted, pages)
+    ext = run_extraction(with_content_sha1(fetched), epoch=1)
+    # DuckDB has no sha1 → the oracle-compared digest is sha2-256
+    return ext.join(pages.select("url", "html"), "url").select(
+        "url", "text", F.sha2(F.col("html"), 256).alias("content_sha256")
+    )
+
+
+# ------------------------------------------------------------------ queries
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full crawl epoch 1 at sf0.001 (driver checks rows>0)."""
+    return _flagship_epoch1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- crawl pipeline operators (SURVEY.md §2), oracle-checked ---
+    def q_canonicalize_dedup(spark, sf):
+        seeds = synth_seeds(spark, sf)
+        return (
+            seeds.select(canonical_url_col(F.col("url")).alias("url"), "priority")
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"))
+        )
+
+    q["canonicalize_dedup"] = q_canonicalize_dedup
+
+    def q_frontier_build(spark, sf):
+        return _frontier(spark, sf).select(
+            "url", "host", "priority", "retry_count", "state"
+        )
+
+    q["frontier_build"] = q_frontier_build
+
+    def q_dequeue_topk(spark, sf):
+        # oracle-partitionable variant: bucket = host_id % 8, k = 5
+        fr = _frontier(spark, sf).withColumn(
+            "bucket", F.substring("host", 2, 4).cast("int") % 8
+        )
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("priority").desc(), F.col("url").asc()
+        )
+        return (
+            fr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("bucket", "url", "priority", "rn")
+        )
+
+    q["dequeue_topk"] = q_dequeue_topk
+
+    def q_seen_antijoin(spark, sf):
+        pages = synth_pages(spark, sf)
+        seen = _frontier(spark, sf).select("url")
+        return pages.join(seen, "url", "left_anti").select("url")
+
+    q["seen_antijoin"] = q_seen_antijoin
+
+    def q_robots_filter(spark, sf):
+        pages = synth_pages(spark, sf).select(
+            "url", host_col(F.col("url")).alias("host")
+        )
+        robots = synth_robots(spark, sf)
+        joined = pages.join(F.broadcast(robots), "host")
+        denied = pol.robots_deny_col(F.col("rules"), path_col(F.col("url")))
+        return joined.filter(denied).select("host", "url")
+
+    q["robots_filter"] = q_robots_filter
+
+    def q_politeness_budget(spark, sf):
+        robots = synth_robots(spark, sf)
+        fr = _frontier(spark, sf)
+        sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
+        allowed, _ = pol.split_robots(sl, robots)
+        empty = spark.createDataFrame([], POLITENESS)
+        bucketed = pol.apply_token_buckets(allowed, empty, EPOCH1_TS, 60.0)
+        return bucketed.groupBy("host").agg(
+            F.sum(F.col("granted").cast("long")).alias("n_granted"),
+            F.sum((~F.col("granted")).cast("long")).alias("n_deferred"),
+        )
+
+    q["politeness_budget"] = q_politeness_budget
+
+    def q_fetch_join(spark, sf):
+        pages = synth_pages(spark, sf)
+        fr = _frontier(spark, sf)
+        fetched, _ = fetch_join(fr, pages)
+        return fetched.select("url", "host", "priority", "warc_ts")
+
+    q["fetch_join"] = q_fetch_join
+
+    def q_conditional_get(spark, sf):
+        # cache holds every 3rd page with its true digest → those are 304s
+        pages = synth_pages(spark, sf)
+        hashed = pages.withColumn("sha", F.sha2(F.col("html"), 256))
+        cache = hashed.filter(F.col("i") % 3 == 0).select(
+            "url", F.col("sha").alias("cached_sha")
+        )
+        joined = hashed.join(cache, "url", "left")
+        return joined.select(
+            "url",
+            F.when(
+                F.col("cached_sha").isNotNull()
+                & (F.col("cached_sha") == F.col("sha")),
+                F.lit("304"),
+            )
+            .otherwise(F.lit("modified"))
+            .alias("status"),
+        )
+
+    q["conditional_get"] = q_conditional_get
+
+    def q_delta_links(spark, sf):
+        # delta of out-link sets between two crawl slices, via the REAL
+        # links-extract UDF (oracle recomputes links in closed form)
+        pages = synth_pages(spark, sf)
+        cur = (
+            pages.filter(F.col("i") % 10 == 0)
+            .select(F.explode(links_extract_udf("html")).alias("url"))
+            .distinct()
+        )
+        prev = (
+            pages.filter(F.col("i") % 20 == 0)
+            .select(F.explode(links_extract_udf("html")).alias("url"))
+            .distinct()
+        )
+        return cur.join(prev, "url", "left_anti")
+
+    q["delta_links"] = q_delta_links
+
+    def q_frontier_merge(spark, sf):
+        pages = synth_pages(spark, sf)
+        fr = _frontier(spark, sf)
+        links = (
+            pages.join(fr.select("url"), "url", "left_semi")
+            .select(F.explode(links_extract_udf("html")).alias("url"))
+            .select(canonical_url_col(F.col("url")).alias("url"))
+        )
+        merged = merge_new_urls(fr, links, EPOCH1_TS)
+        return merged.select("url", "state")
+
+    q["frontier_merge"] = q_frontier_merge
+
+    def q_requeue_schedule(spark, sf):
+        fr = _frontier(spark, sf)
+        return requeue_fetched(fr, EPOCH1_TS).select("url", "next_fetch_ts")
+
+    q["requeue_schedule"] = q_requeue_schedule
+
+    def q_host_stats(spark, sf):
+        # per-host crawl metrics (the lineage aggregation shape)
+        pages = synth_pages(spark, sf)
+        return (
+            pages.select(host_col(F.col("url")).alias("host"), "html", "warc_ts")
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("n_pages"),
+                F.sum(F.length("html")).alias("total_bytes"),
+                F.min("warc_ts").alias("first_ts"),
+                F.max("warc_ts").alias("last_ts"),
+            )
+        )
+
+    q["host_stats"] = q_host_stats
+
+    def q_extract_text(spark, sf):
+        # byte-identical extraction via the pandas UDF vs SQL strip-tags
+        pages = synth_pages(spark, sf)
+        return pages.filter(F.col("i") % 7 == 0).select(
+            "url", text_extract_udf("html").alias("text")
+        )
+
+    q["extract_text"] = q_extract_text
+
+    q["crawl_epoch_flagship"] = _flagship_epoch1
+
+    # --- training-data operators ---
+    def q_dedup_exact(spark, sf):
+        pages = synth_pages(spark, sf).select(F.col("i").alias("doc_id"), "text")
+        return dd.exact_dedup_groups(pages, "doc_id", "text")
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_dedup_ngram_jaccard(spark, sf):
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 80)
+        return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+
+    q["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
+
+    def q_dedup_minhash_lsh(spark, sf):  # no SQL oracle (xxhash64 banding)
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return dd.minhash_lsh_pairs(docs, "doc_id", "text")
+
+    q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
+
+    def q_dedup_simhash(spark, sf):  # no SQL oracle (xxhash64 bits)
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return dd.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
+
+    q["dedup_simhash"] = q_dedup_simhash
+
+    def q_text_profile(spark, sf):
+        return ts.document_profile(_docs(spark, sf), "doc_id", "text")
+
+    q["text_profile"] = q_text_profile
+
+    def q_ann_cosine_topk(spark, sf):
+        return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
+
+    q["ann_cosine_topk"] = q_ann_cosine_topk
+
+    def q_ann_ivf_topk(spark, sf):  # no SQL oracle (approximate path)
+        return sim.ivf_topk(_emb(spark, sf), list(range(10)), k=5)
+
+    q["ann_ivf_topk"] = q_ann_ivf_topk
+
+    def q_multimodal_features(spark, sf):  # no SQL oracle (binary plumbing)
+        media = synth_media(_docs(spark, sf).select("doc_id"))
+        return extract_media_features(media)
+
+    q["multimodal_features"] = q_multimodal_features
+
+    # --- generic relational coverage on driver tables ---
+    def q_agg_pricing(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(d("l_quantity")).alias("sum_qty"),
+                F.sum(d("l_extendedprice")).alias("sum_base_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["agg_pricing"] = q_agg_pricing
+
+    def q_topk_per_group(spark, sf):
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        )
+
+    q["topk_per_group"] = q_topk_per_group
+
+    def q_anti_semi_join(spark, sf):
+        # customers with no 1997 order (date-filtered anti join)
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.year("o_orderdate") == 1997
+        )
+        no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        return no_orders.select("c_custkey", "c_name")
+
+    q["anti_semi_join"] = q_anti_semi_join
+
+    def q_dim_join_rollup(spark, sf):
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers"))
+        )
+
+    q["dim_join_rollup"] = q_dim_join_rollup
+
+    def q_events_window(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("win_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            )
+        )
+
+    q["events_window"] = q_events_window
+
+    def q_sessionize(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        return (
+            ev.withColumn(
+                "new_sess",
+                F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_sess").alias("n_sessions"),
+                F.count("*").alias("n_events"),
+            )
+        )
+
+    q["sessionize"] = q_sessionize
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    C = oracle_ctes()
+    o: dict[str, str] = {}
+
+    o["canonicalize_dedup"] = f"""WITH {C}, {_SQL_CANON}
+SELECT url, priority FROM canon_seeds"""
+
+    o["frontier_build"] = f"""WITH {C}, {_SQL_CANON}
+SELECT url,
+       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+       priority, 0 AS retry_count, 'pending' AS state
+FROM canon_seeds"""
+
+    o["dequeue_topk"] = f"""WITH {C}, {_SQL_CANON},
+  b AS (
+    SELECT url, priority,
+           CAST(substr(lower(regexp_extract(url, '://([^/?#:]*)', 1)), 2, 4) AS INT) % 8 AS bucket
+    FROM canon_seeds
+  ),
+  ranked AS (
+    SELECT bucket, url, priority,
+           row_number() OVER (PARTITION BY bucket ORDER BY priority DESC, url ASC) AS rn
+    FROM b
+  )
+SELECT bucket, url, priority, rn FROM ranked WHERE rn <= 5"""
+
+    o["seen_antijoin"] = f"""WITH {C}, {_SQL_CANON}
+SELECT p.url FROM pages_o p
+WHERE p.url NOT IN (SELECT url FROM canon_seeds)"""
+
+    o["robots_filter"] = f"""WITH {C}
+SELECT p.host, p.url
+FROM pages_o p JOIN robots_o r USING (host)
+WHERE r.disallow_prefix IS NOT NULL
+  AND regexp_extract(p.url, '://[^/]*(/.*)$', 1) LIKE r.disallow_prefix || '%'"""
+
+    o["politeness_budget"] = f"""WITH {C}, {_SQL_CANON}, {_SQL_GRANT}
+SELECT host,
+       sum(CASE WHEN rn <= budget THEN 1 ELSE 0 END) AS n_granted,
+       sum(CASE WHEN rn <= budget THEN 0 ELSE 1 END) AS n_deferred
+FROM granted GROUP BY host"""
+
+    o["fetch_join"] = f"""WITH {C}, {_SQL_CANON}
+SELECT p.url, p.host, c.priority, p.warc_ts
+FROM canon_seeds c JOIN pages_o p USING (url)"""
+
+    o["conditional_get"] = f"""WITH {C}
+SELECT url, CASE WHEN i % 3 = 0 THEN '304' ELSE 'modified' END AS status
+FROM pages_o"""
+
+    o["delta_links"] = f"""WITH {C},
+  links AS (
+    SELECT i, unnest([
+      printf('http://h%04d.example.org/p/%d',
+             CASE WHEN ((i*7+1) % n_pages) % 10 < 3 THEN 0
+                  ELSE CAST(((i*7+1) % n_pages) % n_hosts AS INT) END, (i*7+1) % n_pages),
+      printf('http://h%04d.example.org/p/%d',
+             CASE WHEN ((i*13+2) % n_pages) % 10 < 3 THEN 0
+                  ELSE CAST(((i*13+2) % n_pages) % n_hosts AS INT) END, (i*13+2) % n_pages)
+    ]) AS url
+    FROM idx
+  ),
+  cur AS (SELECT DISTINCT url FROM links WHERE i % 10 = 0),
+  prev AS (SELECT DISTINCT url FROM links WHERE i % 20 = 0)
+SELECT url FROM cur WHERE url NOT IN (SELECT url FROM prev)"""
+
+    o["frontier_merge"] = f"""WITH {C}, {_SQL_CANON},
+  links AS (
+    SELECT DISTINCT unnest([
+      printf('http://h%04d.example.org/p/%d',
+             CASE WHEN ((i*7+1) % n_pages) % 10 < 3 THEN 0
+                  ELSE CAST(((i*7+1) % n_pages) % n_hosts AS INT) END, (i*7+1) % n_pages),
+      printf('http://h%04d.example.org/p/%d',
+             CASE WHEN ((i*13+2) % n_pages) % 10 < 3 THEN 0
+                  ELSE CAST(((i*13+2) % n_pages) % n_hosts AS INT) END, (i*13+2) % n_pages)
+    ]) AS url
+    FROM idx
+    WHERE printf('http://h%04d.example.org/p/%d',
+                 CASE WHEN i % 10 < 3 THEN 0 ELSE CAST(i % n_hosts AS INT) END, i)
+          IN (SELECT url FROM canon_seeds)
+  )
+SELECT url, 'pending' AS state FROM canon_seeds
+UNION ALL
+SELECT url, 'pending' AS state FROM links
+WHERE url NOT IN (SELECT url FROM canon_seeds)"""
+
+    o["requeue_schedule"] = f"""WITH {C}, {_SQL_CANON}
+SELECT url, TIMESTAMP '{EPOCH1_TS}' + INTERVAL 3600 SECOND AS next_fetch_ts
+FROM canon_seeds"""
+
+    o["host_stats"] = f"""WITH {C}
+SELECT host, count(*) AS n_pages,
+       sum(length(html_s)) AS total_bytes,
+       min(warc_ts) AS first_ts, max(warc_ts) AS last_ts
+FROM pages_o GROUP BY host"""
+
+    o["extract_text"] = f"""WITH {C}
+SELECT url, regexp_replace(html_s, '<[^>]*>', '', 'g') AS text
+FROM pages_o WHERE i % 7 = 0"""
+
+    o["crawl_epoch_flagship"] = f"""WITH {C}, {_SQL_CANON}, {_SQL_GRANT}
+SELECT p.url, regexp_replace(p.html_s, '<[^>]*>', '', 'g') AS text,
+       sha256(p.html_s) AS content_sha256
+FROM granted g JOIN pages_o p ON g.url = p.url
+WHERE g.rn <= g.budget"""
+
+    o["dedup_exact"] = f"""WITH {C}
+SELECT md5(regexp_replace(text, ' #\\d+$', '')) AS text_hash,
+       count(*) AS n_copies, min(i) AS keep_doc_id
+FROM pages_o GROUP BY 1"""
+
+    o["dedup_ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, [w FOR w IN string_split(text, ' ') IF w <> ''] AS t
+  FROM documents WHERE doc_id < 80
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([t[i+1] || ' ' || t[i+2] FOR i IN range(len(t) - 1)]) AS gs
+  FROM toks
+),
+flat AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM flat a JOIN flat b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_inter) >= 0.08"""
+
+    stop = {
+        lang: ", ".join(f"'{w}'" for w in ws)
+        for lang, ws in ts.LANG_STOPWORDS.items()
+    }
+    o["text_profile"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         [w FOR w IN string_split(text, ' ') IF w <> ''] AS toks,
+         [w FOR w IN string_split(lower(text), ' ') IF w <> ''] AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks, ltoks,
+    len(toks) AS n_tokens,
+    length(text) AS n_chars,
+    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+          / greatest(length(text), 1), 6) AS punct_ratio,
+    round(list_sum([CAST(length(w) AS BIGINT) FOR w IN toks])
+          / greatest(len(toks), 1), 6) AS mean_word_len,
+    round(len([w FOR w IN ltoks IF list_contains([{stop['en']}], w)])
+          / greatest(len(ltoks), 1), 6) AS stopword_ratio_en,
+    len([w FOR w IN ltoks IF list_contains([{stop['en']}], w)]) AS s_en,
+    len([w FOR w IN ltoks IF list_contains([{stop['es']}], w)]) AS s_es,
+    len([w FOR w IN ltoks IF list_contains([{stop['fr']}], w)]) AS s_fr,
+    len([w FOR w IN ltoks IF list_contains([{stop['de']}], w)]) AS s_de
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars, punct_ratio, mean_word_len, stopword_ratio_en,
+  round((least(n_tokens / 20.0, 1.0)
+         + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)
+         + (1.0 - least(punct_ratio * 5, 1.0))) / 3.0, 6) AS quality,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+       ELSE 'de' END AS lang_guess,
+  list_reduce(
+    list_prepend(CAST(7 AS BIGINT),
+      [CAST(ascii(substr(w, 1, 1)) + length(w) AS BIGINT) FOR w IN toks]),
+    (acc, v) -> (acc * {ts.FINGERPRINT_MUL} + v) % {ts.FINGERPRINT_MOD}
+  ) AS fingerprint
+FROM m"""
+
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    round(
+      list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(q.qe, c.embedding)])
+      / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.qe]))
+        * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN c.embedding])) ), 6
+    ) AS cos_sim
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+    o["agg_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+    o["topk_per_group"] = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ranked WHERE rn <= 3"""
+
+    o["anti_semi_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)"""
+
+    o["dim_join_rollup"] = """
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)"""
+
+    o["events_window"] = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events GROUP BY 1, 2"""
+
+    o["sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id"""
+
+    return o

@@ -1,0 +1,280 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's request-identity dedup (O-19), a 100 TB crawl
+corpus needs content-level dedup before training. Four tiers, each a
+``queries()`` entry in the driver contract:
+
+- exact:        hash the normalized text, keep the lowest doc id
+- n-gram Jaccard: token-set similarity via explode + self-join (exact,
+                  quadratic in candidates — used on bounded subsets or
+                  as the verify stage after LSH)
+- MinHash+LSH:  shingles → per-seed min-hash signature → banded
+                bucket join → candidate pairs (sub-quadratic; the
+                scale path); signatures are pure Column expressions
+                (xxhash64 per seed + array_min) — no UDF, no
+                per-row Python, one shuffle for the band join
+- SimHash:      64-bit sign-sum fingerprint; near-dups differ in few
+                bits (hamming ≤ t)
+
+Scale notes: MinHash/LSH is the only one that survives 10^9 docs —
+band-bucket join keys are (band_idx, band_hash), high-cardinality and
+uniform, so the shuffle balances; the Jaccard verify runs only on
+bucket-collision pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: strip the per-row uniqueness suffix the corpus synthesizer appends —
+#: collapsing pages back to their source document, which gives the
+#: sandbox a real duplicate-group structure to exercise.
+UNIQ_SUFFIX_RE = r" #\d+$"
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(text, UNIQ_SUFFIX_RE, "")
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5(normalized text) → group size + survivor id.
+
+    Map-side-combinable hash aggregation; at 100 TB the only shuffle is
+    the 16-byte digest + id pairs, never the text.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalized_text(F.col(text_col))).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empties removed (shared by dedup + textstats)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity for all pairs sharing ≥1
+    n-gram: explode → equi-join on the n-gram → |∩| per pair → Jaccard.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, sim ≥ threshold.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("t") - n, F.lit(-1)),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", *[F.col("t")[i + j] for j in range(n)]
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingles_col(text: Column, k: int = 5) -> Column:
+    """Character k-shingles (distinct) of the normalized text."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(text) - k, F.lit(0)) - 1),
+            lambda i: text.substr(i + 1, F.lit(k)),
+        )
+    )
+
+
+def minhash_signature_cols(shingles: Column, n_hashes: int = 32) -> list[Column]:
+    """n_hashes min-hash values, each = min over shingles of
+    xxhash64(shingle, seed_i). Pure Column expressions — JVM-side."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (doc_a < doc_b, n_bands_hit).
+
+    rows/band = n_hashes // bands; two docs collide if any band's
+    signature slice matches exactly. Candidates should flow into
+    :func:`ngram_jaccard_pairs` (or signature similarity) to verify.
+    """
+    rows_per_band = n_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(normalized_text(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    sig = base.select(
+        "doc_id", *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bh")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band_idx"), F.col("e.bh"))
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
+def simhash_col(tokens: Column) -> Column:
+    """64-bit SimHash: per-bit sign-sum of token xxhash64 values.
+
+    bit_b(sig) = 1 iff sum over tokens of (+1 if bit b of hash else -1) > 0.
+    Pure Column expressions (64 aggregate-free array ops per row).
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    sig = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        sig = sig + F.shiftleft(bit, b)
+    return sig
+
+
+def simhash_near_dups(
+    docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs within hamming distance ≤ t.
+
+    Sandbox: verify stage joins on the first 16-bit block (pigeonhole
+    prefilter for t<..), then filters on exact hamming distance.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_col(tokens_col(normalized_text(F.col(text_col)))).alias("sig"),
+    )
+    blocks = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk_idx"),
+                        F.shiftright("sig", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("blk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "sig", F.col("e.blk_idx"), F.col("e.blk"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

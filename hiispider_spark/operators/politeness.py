@@ -82,6 +82,7 @@ def apply_token_buckets(
     politeness_state: DataFrame,
     epoch_ts: str,
     epoch_seconds: float = EPOCH_SECONDS,
+    tie_break: str = "url_hash",
 ) -> DataFrame:
     """Token-bucket grant inside groupBy(host).applyInPandas.
 
@@ -122,9 +123,10 @@ def apply_token_buckets(
             tokens = min(cap, float(tokens_prev) + elapsed / max(delay, 1e-9))
         budget = int(np.floor(tokens))
         # deterministic per-group order (SURVEY.md §4): priority DESC,
-        # url_hash ASC — same tie-break as the dequeue window
+        # tie_break ASC — default url_hash, same as the dequeue window
+        # (oracle-checked queries use tie_break="url": SQL-computable)
         pdf = pdf.sort_values(
-            ["priority", "url_hash"], ascending=[False, True], kind="mergesort"
+            ["priority", tie_break], ascending=[False, True], kind="mergesort"
         )
         n = len(pdf)
         granted = np.zeros(n, dtype=bool)

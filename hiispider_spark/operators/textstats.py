@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines: token counts, quality
+scores, language ID heuristic, document fingerprinting.
+
+All pure Column expressions (WholeStageCodegen; no UDFs) with DuckDB
+SQL twins in the driver oracle — the hot path over 10^9 documents must
+not leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators.dedup import tokens_col
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic —
+# deterministic and SQL-expressible (IN lists), not a real LID model
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "les"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_MUL = 31
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def char_count_col(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio_col(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    return F.round(
+        F.length(stripped) / F.greatest(F.length(text), F.lit(1)), 6
+    )
+
+
+def mean_word_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
+    toks = tokens_col(F.lower(text))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+    )
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, words not too
+    short/long, low punctuation noise. Deterministic and SQL-twinnable."""
+    n_tok = token_count_col(text)
+    len_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    wl = mean_word_len_col(text)
+    wl_ok = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio_col(text) * 5, F.lit(1.0))
+    return F.round((len_ok + wl_ok + punct_ok) / 3.0, 6)
+
+
+def lang_guess_col(text: Column) -> Column:
+    """argmax over per-language stopword hit counts; 'und' if all zero.
+
+    Ties break by language code order (deterministic; matches the SQL
+    twin's CASE chain).
+    """
+    toks = tokens_col(F.lower(text))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties in the final when-chain
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Rolling polynomial hash over word values (Rabin-Karp style):
+    word value = ascii(first char) + length; acc = (acc*31 + v) mod p.
+
+    Engine-portable: identical arithmetic exists in DuckDB list_reduce,
+    and the modulus keeps every intermediate within int64.
+    """
+    vals = F.transform(
+        tokens_col(text),
+        lambda t: (F.ascii(F.substring(t, 1, 1)) + F.length(t)).cast("long"),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(7).cast("long"),
+        lambda acc, v: (acc * FINGERPRINT_MUL + v) % FINGERPRINT_MOD,
+    )
+
+
+def document_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per document with every text statistic — the shape a
+    quality-filtering pipeline consumes."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col(t).alias("n_tokens"),
+        char_count_col(t).alias("n_chars"),
+        punct_ratio_col(t).alias("punct_ratio"),
+        mean_word_len_col(t).alias("mean_word_len"),
+        stopword_ratio_col(t, "en").alias("stopword_ratio_en"),
+        quality_score_col(t).alias("quality"),
+        lang_guess_col(t).alias("lang_guess"),
+        fingerprint_col(t).alias("fingerprint"),
+    )

@@ -117,10 +117,16 @@ def synth_seeds(
     cfg = cfg or SynthConfig.from_sf_dir(spark, sf_dir)
     i = F.col("i")
     idx = spark.range(cfg.n_pages).toDF("i")
-    canon = idx.filter(i % 10 == 0).select(
+    # i%10==3 seeds spread across all hosts; i%25==0 seeds hit the hot
+    # host too (i%10<3 ⊂ that set) so politeness sees both regimes
+    spread = idx.filter(i % 10 == 3).select(
         _url(i, cfg.n_hosts).alias("url"),
         (1.0 + (F.expr("i div 10") % 10) / 10.0).alias("priority"),
     )
+    hot = idx.filter(i % 25 == 0).select(
+        _url(i, cfg.n_hosts).alias("url"), F.lit(1.5).alias("priority")
+    )
+    canon = spread.unionByName(hot)
     variants = idx.filter(i % 100 == 0).select(
         F.format_string(
             "HTTP://H%04d.EXAMPLE.ORG:80/p/%d#frag", _host_id(i, cfg.n_hosts), i
@@ -203,7 +209,12 @@ def oracle_ctes() -> str:
     SELECT printf('http://h%04d.example.org/p/%d',
                   CASE WHEN i % 10 < 3 THEN 0 ELSE CAST(i % n_hosts AS INT) END, i) AS url,
            1.0 + ((i // 10) % 10) / 10.0 AS priority
-    FROM idx WHERE i % 10 = 0
+    FROM idx WHERE i % 10 = 3
+    UNION ALL
+    SELECT printf('http://h%04d.example.org/p/%d',
+                  CASE WHEN i % 10 < 3 THEN 0 ELSE CAST(i % n_hosts AS INT) END, i) AS url,
+           1.5 AS priority
+    FROM idx WHERE i % 25 = 0
     UNION ALL
     SELECT printf('HTTP://H%04d.EXAMPLE.ORG:80/p/%d#frag',
                   CASE WHEN i % 10 < 3 THEN 0 ELSE CAST(i % n_hosts AS INT) END, i) AS url,

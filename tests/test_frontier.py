@@ -16,14 +16,15 @@ from hiispider_spark.sources.synth import EPOCH0
 
 def test_build_dedups_noncanonical_variants(spark, tiny_seeds):
     fr = build_frontier(tiny_seeds, n_partitions=8)
-    # 400-page corpus: 40 canonical seeds + 4 variants collapsing into them
-    assert fr.count() == 40
+    # 400-page corpus: 40 spread (i%10==3) + 16 hot (i%25==0) canonical
+    # seeds, plus 4 non-canonical variants collapsing into existing ones
+    assert fr.count() == 56
     assert fr.filter(F.col("url").contains("HTTP")).count() == 0
     assert fr.filter(F.col("url").contains(":80")).count() == 0
     # the variant targets kept the canonical (higher) priority
     assert fr.filter(F.col("priority") < 1.0).count() == 0
     # identity + partitioning are total functions of the url
-    assert fr.select("url_hash").distinct().count() == 40
+    assert fr.select("url_hash").distinct().count() == 56
     assert fr.filter(
         (F.col("part_id") < 0) | (F.col("part_id") >= 8)
     ).count() == 0

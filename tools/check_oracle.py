@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries()[k] on Spark and oracle_sql()[k] on DuckDB at the given sf,
+compare row count + column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        return f"{v.normalize():f}"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from hiispider_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="oracle-check", cpus=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            print(f"FAIL  {name:24s} spark error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if name not in os_:
+            print(
+                f"ROWS  {name:24s} rows={len(srows)} (no oracle)  "
+                f"{time.time()-t0:.1f}s"
+            )
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(os_[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name:24s} duckdb error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        a = norm_rows(scols, srows)
+        b = norm_rows(ocols, orows)
+        ok_vals = a == b
+        if ok_cols and ok_count and ok_vals:
+            print(f"PASS  {name:24s} rows={len(srows)}  {time.time()-t0:.1f}s")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL  {name:24s} cols_ok={ok_cols} count {len(srows)}vs{len(orows)} vals_ok={ok_vals}"
+            )
+            if not ok_cols:
+                print(f"      spark cols: {sorted(scols)}")
+                print(f"      duck  cols: {sorted(ocols)}")
+            if a != b:
+                diff_a = [r for r in a if r not in set(b)][:3]
+                diff_b = [r for r in b if r not in set(a)][:3]
+                print(f"      only-spark: {diff_a}")
+                print(f"      only-duck : {diff_b}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
