@@ -87,7 +87,9 @@ def run_extraction(modified: DataFrame, epoch: int) -> DataFrame:
     xxhash64 of the payload (JVM-side), feeding the delta operator.
     """
     links = links_extract_udf(F.col("html"))
+    carry = ["part_id"] if "part_id" in modified.columns else []
     return modified.select(
+        *carry,
         "url_hash",
         "url",
         F.lit("text").alias("plugin"),

@@ -139,7 +139,7 @@ def requeue_failed(slice_df: DataFrame, epoch_ts: str) -> DataFrame:
     )
 
 
-def merge_new_urls(
+def new_frontier_entries(
     frontier: DataFrame,
     new_urls: DataFrame,
     epoch_ts: str,
@@ -148,19 +148,24 @@ def merge_new_urls(
     interval_s: int = DEFAULT_INTERVAL_S,
     discovered_priority: float = 0.1,
 ) -> DataFrame:
-    """Frontier merge (O-21): discovered URLs (column ``url``, already
-    canonical) that are not yet in the frontier are inserted as new
-    pending entries due next epoch; existing entries keep their schedule.
+    """Frontier-shaped rows for discovered URLs not yet in the frontier
+    (the insert side of O-21). Exposed separately from the union so the
+    epoch can reuse the inserted set for the seen-set delta update.
 
     Anti-join on url_hash — at 10^10 scale the bloom prefilter
     (operators.seen) cuts this probe by ~99% before the exact join.
     """
     url = F.col("url")
+    if "url_hash" in new_urls.columns:  # caller already hashed (cached)
+        hashed = new_urls.select("url", "url_hash").dropDuplicates(["url"])
+    else:
+        hashed = (
+            new_urls.select(url.alias("url"))
+            .dropDuplicates(["url"])
+            .withColumn("url_hash", url_hash_udf(url))
+        )
     candidates = (
-        new_urls.select(url.alias("url"))
-        .dropDuplicates(["url"])
-        .withColumn("url_hash", url_hash_udf(url))
-        .join(frontier.select("url_hash"), "url_hash", "left_anti")
+        hashed.join(frontier.select("url_hash"), "url_hash", "left_anti")
         .withColumn("host", host_col(url))
         .withColumn("salt", salt_col(url, n_salts))
         .withColumn("part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions))
@@ -171,4 +176,23 @@ def merge_new_urls(
         .withColumn("state", F.lit("pending"))
         .select(*frontier.columns)
     )
-    return frontier.unionByName(candidates)
+    return candidates
+
+
+def merge_new_urls(
+    frontier: DataFrame,
+    new_urls: DataFrame,
+    epoch_ts: str,
+    n_partitions: int = DEFAULT_PARTITIONS,
+    n_salts: int = DEFAULT_SALTS,
+    interval_s: int = DEFAULT_INTERVAL_S,
+    discovered_priority: float = 0.1,
+) -> DataFrame:
+    """Frontier merge (O-21): union of the existing frontier with
+    :func:`new_frontier_entries`; existing entries keep their schedule."""
+    return frontier.unionByName(
+        new_frontier_entries(
+            frontier, new_urls, epoch_ts, n_partitions, n_salts,
+            interval_s, discovered_priority,
+        )
+    )

@@ -115,6 +115,56 @@ def build_partition_blooms(
     )
 
 
+def merge_partition_blooms(
+    old_seen_set: DataFrame,
+    new_items: DataFrame,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Incremental seen-set update: OR the bloom of this epoch's new
+    URLs into the existing per-partition filters — O(new) work instead
+    of rebuilding over the whole frontier (the only shape that survives
+    a 10^10-row frontier; rebuild would re-scan everything per epoch).
+
+    ``new_items`` carries (part_id, url_hash). Partitions unseen so far
+    get fresh rows; untouched partitions pass through unchanged.
+    """
+    new_blooms = build_partition_blooms(new_items, m_bits, k).select(
+        "partition_id",
+        F.col("bloom").alias("bloom_new"),
+        F.col("n_items").alias("n_new"),
+    )
+    joined = old_seen_set.join(new_blooms, "partition_id", "full_outer")
+
+    @F.pandas_udf(T.BinaryType())
+    def or_bytes(a: pd.Series, b: pd.Series) -> pd.Series:
+        def f(x, y):
+            if x is None:
+                return y
+            if y is None:
+                return x
+            return (
+                np.frombuffer(x, np.uint8) | np.frombuffer(y, np.uint8)
+            ).tobytes()
+
+        return pd.Series([f(x, y) for x, y in zip(a, b)])
+
+    n_total = F.coalesce(F.col("n_items"), F.lit(0)) + F.coalesce(
+        F.col("n_new"), F.lit(0)
+    )
+    # fpp re-estimated from the count (union keeps it conservative)
+    est = (
+        1.0
+        - F.exp(-F.lit(float(k)) * n_total.cast("double") / F.lit(float(m_bits)))
+    ) ** k
+    return joined.select(
+        "partition_id",
+        or_bytes(F.col("bloom"), F.col("bloom_new")).alias("bloom"),
+        n_total.cast("long").alias("n_items"),
+        est.alias("fpp"),
+    )
+
+
 def union_blooms_tree(
     seen_set: DataFrame, m_bits: int = DEFAULT_M_BITS, depth: int = 2
 ) -> bytes:

@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,7 +42,7 @@ from hiispider_spark.operators.extract import run_extraction
 from hiispider_spark.operators.frontier import (
     build_frontier,
     dequeue_topk,
-    merge_new_urls,
+    new_frontier_entries,
     requeue_failed,
     requeue_fetched,
 )
@@ -64,6 +65,9 @@ class EpochConfig:
     epoch_seconds: float = EPOCH_SECONDS
     bloom_m_bits: int = seen_ops.DEFAULT_M_BITS
     follow_links: bool = True
+    # False → per-epoch counters come from the lineage table (already
+    # computed for the commit) instead of extra count() jobs
+    collect_stats: bool = True
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -105,19 +109,28 @@ def run_epoch(
     ts = epoch_timestamp(e, cfg.epoch_seconds)
 
     frontier = cat.read("frontier")
+    # each persisted stage is materialized (count) before dependents
+    # fan out — otherwise sibling branches of the final union race to
+    # compute the same uncached subtree in one job, duplicating work
     sl = dequeue_topk(frontier, ts, cfg.k_per_partition).persist()
+    n_dequeued = sl.count()
 
     # politeness: robots prefix rules then per-host token buckets
     allowed, denied = pol.split_robots(sl, robots)
     bucketed = pol.apply_token_buckets(
         allowed, cat.read("politeness"), ts, cfg.epoch_seconds
     ).persist()
+    bucketed.count()
     granted = bucketed.filter(F.col("granted")).select(*FRONTIER_COLS)
     deferred = bucketed.filter(~F.col("granted")).select(*FRONTIER_COLS)
 
-    # fetch = join against the page store; sha1 change detection
+    # fetch = join against the page store; sha1 change detection.
+    # DISK_ONLY: these rows carry html bytes — unrolling them into the
+    # memory store across many concurrent tasks GC-thrashes; streaming
+    # to local disk scales linearly with cores.
     fetched, failed = fetch_join(granted, pages)
-    fetched = with_content_sha1(fetched).persist()
+    fetched = with_content_sha1(fetched).persist(StorageLevel.DISK_ONLY)
+    n_fetched = fetched.count()
     cache = (
         cat.read("extracted")
         .groupBy("url_hash")
@@ -125,7 +138,8 @@ def run_epoch(
     )
     modified, unchanged = split_modified(fetched, cache)
 
-    extracted_new = run_extraction(modified, e).persist()
+    extracted_new = run_extraction(modified, e).persist(StorageLevel.DISK_ONLY)
+    n_extracted = extracted_new.count()
 
     # frontier write-back: untouched ∪ requeued ∪ backoff ∪ denied ∪ deferred
     untouched = frontier.join(sl.select("url_hash"), "url_hash", "left_anti")
@@ -142,24 +156,31 @@ def run_epoch(
     )
 
     # discovered out-links → canonicalize → unseen → merge (O-20/O-21)
+    hashed = inserted = None
     if cfg.follow_links:
-        links = (
+        from hiispider_spark.functions.siphash import url_hash_udf
+
+        # canonicalize + hash once, cache — filter_unseen's two branches
+        # (bloom-definite-new ∪ exact-checked) both read this
+        hashed = (
             explode_items(extracted_new)
             .select(canonical_url_col(F.col("payload")).alias("url"))
             .dropDuplicates(["url"])
+            .withColumn("url_hash", url_hash_udf(F.col("url")))
+            .persist()
         )
+        hashed.count()
         seen_exact = cat.read("seen_exact")
         bloom = seen_ops.union_blooms_tree(cat.read("seen_set"), cfg.bloom_m_bits)
-        from hiispider_spark.functions.siphash import url_hash_udf
-
-        hashed = links.withColumn("url_hash", url_hash_udf(F.col("url")))
         unseen = seen_ops.filter_unseen(
             hashed, seen_exact, spark, bloom, cfg.bloom_m_bits
         )
-        new_frontier = merge_new_urls(
-            new_frontier, unseen.select("url"), ts,
+        inserted = new_frontier_entries(
+            new_frontier, unseen.select("url", "url_hash"), ts,
             cfg.n_partitions, cfg.n_salts, cfg.interval_s,
-        )
+        ).persist()
+        inserted.count()
+        new_frontier = new_frontier.unionByName(inserted)
 
     new_frontier = new_frontier.repartition(cfg.n_partitions, "part_id")
 
@@ -170,40 +191,55 @@ def run_epoch(
     )
     politeness_next = new_state.unionByName(carried)
 
-    # lineage (per-bucket metrics)
-    extracted_with_part = extracted_new.join(
-        sl.select("url_hash", "part_id"), "url_hash", "inner"
-    )
-    lin = build_lineage(sl, fetched, extracted_with_part, failed, e, ts)
+    # lineage (per-bucket metrics) — extraction carries part_id through
+    lin = build_lineage(sl, fetched, extracted_new, failed, e, ts)
 
-    # stage + atomic commit
-    cat.stage_overwrite("frontier", new_frontier)
-    cat.stage_overwrite("politeness", politeness_next)
-    cat.stage_append("extracted", extracted_new)
-    cat.stage_append("lineage", lin)
-    # seen set: rebuilt from the staged frontier (frontier rows are
-    # never deleted, so frontier membership == URLs ever seen).
-    # TODO(scale): OR the new URLs' bits into the existing per-partition
-    # blooms instead of rebuilding — O(new) instead of O(frontier).
+    # stage + atomic commit. The six table writes are independent given
+    # the persisted intermediates, so they run as concurrent Spark jobs
+    # from driver threads — overlapping ~6 sequential job latencies into
+    # ~max(one). (Seen set is incremental: append only this epoch's
+    # inserted URLs to seen_exact and OR their bloom bits into the
+    # per-partition filters — O(new) per epoch; frontier rows are never
+    # deleted, so frontier membership == seen_exact membership.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [
+        lambda: cat.stage_overwrite("frontier", new_frontier),
+        lambda: cat.stage_overwrite("politeness", politeness_next),
+        lambda: cat.stage_append("extracted", extracted_new),
+        lambda: cat.stage_append("lineage", lin),
+    ]
+    if cfg.follow_links:
+        jobs.append(lambda: cat.stage_append("seen_exact", inserted.select("url_hash")))
+        jobs.append(
+            lambda: cat.stage_overwrite(
+                "seen_set",
+                seen_ops.merge_partition_blooms(
+                    cat.read("seen_set"),
+                    inserted.select("part_id", "url_hash"),
+                    cfg.bloom_m_bits,
+                ),
+            )
+        )
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
     staged_frontier = cat.read_staged("frontier")
-    cat.stage_overwrite("seen_exact", staged_frontier.select("url_hash"))
-    cat.stage_overwrite(
-        "seen_set",
-        seen_ops.build_partition_blooms(staged_frontier, cfg.bloom_m_bits),
-    )
 
     stats = {
         "epoch": e,
         "epoch_ts": ts,
-        "n_dequeued": sl.count(),
-        "n_granted": granted.count(),
-        "n_fetched": fetched.count(),
-        "n_extracted": extracted_new.count(),
-        "frontier_size": staged_frontier.count(),
+        "n_dequeued": n_dequeued,
+        "n_fetched": n_fetched,
+        "n_extracted": n_extracted,
     }
+    if cfg.collect_stats:
+        stats["n_granted"] = granted.count()
+        stats["frontier_size"] = staged_frontier.count()
     cat.commit(epoch=e)
-    for df in (sl, bucketed, fetched, extracted_new):
-        df.unpersist()
+    for df in (sl, bucketed, fetched, extracted_new, hashed, inserted):
+        if df is not None:
+            df.unpersist()
     return stats
 
 

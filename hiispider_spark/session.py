@@ -40,7 +40,10 @@ def get_spark(
         # batch of page bodies stays well under executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver heap is ALL memory. Wide rows (html bytes)
+        # need ~task_concurrency × partition_bytes of headroom — 8g with
+        # 32 tasks of 200MB+ partitions OOMs; default generously.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -83,8 +83,11 @@ def synth_pages(
     )
     i = F.col("i")
     n = cfg.n_pages
+    # keep per-partition byte footprint bounded (~50k wide rows/task):
+    # 32 tasks × multi-hundred-MB partitions of html would GC-thrash
+    n_parts = max(int(spark.sparkContext.defaultParallelism), n // 50_000)
     base = (
-        spark.range(n)
+        spark.range(0, n, 1, n_parts)
         .toDF("i")
         .withColumn("doc_id", (i % cfg.n_docs).cast("long"))
     )

@@ -1,0 +1,82 @@
+"""Dedup operators: exact groups, n-gram Jaccard, MinHash/LSH, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators import dedup as dd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta"),
+            (3, "alpha beta #42"),  # uniqueness suffix is normalized away
+            (4, "gamma delta"),
+        ],
+    )
+    got = {
+        r.keep_doc_id: r.n_copies
+        for r in dd.exact_dedup_groups(docs, "doc_id", "text").collect()
+    }
+    assert got == {1: 3, 4: 1}
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e"),          # bigrams: ab bc cd de
+            (2, "a b c d x"),          # bigrams: ab bc cd dx  → |∩|=3 |∪|=5
+            (3, "zz yy"),
+        ],
+    )
+    rows = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert abs(r.jaccard - 3 / 5) < 1e-9
+
+
+def test_minhash_identical_docs_collide_in_all_bands(spark):
+    docs = _docs(spark, [(1, "the quick brown fox " * 5), (2, "the quick brown fox " * 5)])
+    rows = dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=32, bands=8).collect()
+    assert len(rows) == 1
+    assert rows[0].n_bands_hit == 8
+
+
+def test_minhash_near_dup_collides_somewhere(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    docs = _docs(spark, [(1, base), (2, base + "tail"), (3, "completely different words entirely")])
+    pairs = {(r.doc_a, r.doc_b) for r in dd.minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_zero_hamming(spark):
+    docs = _docs(spark, [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6")])
+    rows = dd.simhash_near_dups(docs, "doc_id", "text", max_hamming=0).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    words = " ".join(f"tok{i}" for i in range(60))
+    docs = _docs(spark, [(1, words), (2, words + " extra"), (3, " ".join(f"z{i}" for i in range(60)))])
+    rows = {(r.doc_a, r.doc_b): r.hamming for r in dd.simhash_near_dups(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert (1, 2) in rows
+    assert (1, 3) not in rows
+
+
+def test_pages_corpus_dup_structure(spark, tiny_pages):
+    """The synthetic corpus collapses to its source documents after
+    normalization — n_pages/n_docs copies per group."""
+    pages = tiny_pages.select(F.col("i").alias("doc_id"), "text")
+    groups = dd.exact_dedup_groups(pages, "doc_id", "text")
+    assert groups.count() == 400  # 400 pages over 500 docs → 400 groups
+    assert groups.agg(F.max("n_copies")).first()[0] == 1

@@ -61,6 +61,23 @@ def test_plain_string_payloads_pass_through(spark):
     assert got == ["http://x/2"]
 
 
+def test_golden_delta_cases(spark):
+    """All frozen Autogenerator-semantics cases (tests/golden/)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "delta_cases.json")
+    with open(path) as f:
+        doc = json.load(f)
+    for case in doc["cases"]:
+        prev = _items(spark, 1, 1, case["old"])
+        cur = _items(spark, 1, 2, case["new"])
+        got = sorted(
+            r.payload
+            for r in compute_delta(cur, prev, tuple(case["ignores"])).collect()
+        )
+        assert got == sorted(case["expected"]), case["name"]
+
+
 def test_explode_items(spark):
     df = spark.createDataFrame(
         [

@@ -1,0 +1,77 @@
+"""ANN similarity search: brute-force correctness + IVF recall."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_exact_values(spark):
+    vecs = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    got = {
+        r.neighbor_id: r.cos_sim
+        for r in sim.brute_force_topk(vecs, [0], k=3).collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - round(1 / math.sqrt(2), 6)) < 1e-9
+    assert got[3] == -1.0
+
+
+def test_topk_rank_deterministic(spark):
+    # two neighbors with identical similarity → lower vec_id ranks first
+    vecs = _vecs(
+        spark,
+        [(0, [1.0, 0.0]), (5, [2.0, 0.0]), (3, [3.0, 0.0]), (9, [0.0, 1.0])],
+    )
+    rows = sim.brute_force_topk(vecs, [0], k=3).collect()
+    assert [(r.neighbor_id, r.rank) for r in rows] == [(3, 1), (5, 2), (9, 3)]
+
+
+def test_brute_force_on_driver_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = sim.brute_force_topk(emb, [0, 1, 2], k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim, r.neighbor_id))
+    for q, rs in per_q.items():
+        rs.sort()
+        sims = [s for _, s, _ in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n != q for _, _, n in rs)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with n_probe=1 is approximate; on the driver embeddings it
+    should still recover a meaningful fraction of true neighbors, and
+    every IVF result must come from the query's own centroid bucket."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(5))
+    bf = sim.brute_force_topk(emb, qids, k=5).collect()
+    ivf = sim.ivf_topk(emb, qids, k=5, every=50).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in bf}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(got) > 0
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2  # single-probe IVF on random vectors is rough
+    assign = {r.vec_id: r.centroid_id for r in sim.assign_centroids(emb, 50).collect()}
+    for r in ivf:
+        assert assign[r.neighbor_id] == assign[r.query_id]

@@ -14,16 +14,16 @@ from hiispider_spark.functions.siphash import (
     url_hash_udf,
 )
 
-KAT_KEY = bytes(range(16))
+import json
+import os
+
+_KAT_FILE = os.path.join(os.path.dirname(__file__), "golden", "siphash_kat.json")
+with open(_KAT_FILE) as _f:
+    _KAT_DOC = json.load(_f)
+KAT_KEY = bytes.fromhex(_KAT_DOC["key_hex"])
 # Published SipHash-2-4 64-bit vectors (Aumasson & Bernstein reference
 # implementation, key 000102..0f, msg 00..0{n-1}); index = msg length.
-KAT = {
-    0: 0x726FDB47DD0E0E31,
-    1: 0x74F839C593DC67FD,
-    2: 0x0D6C8009D9A94F5A,
-    3: 0x85676696D7FB7E2D,
-    15: 0xA129CA6149BE45E5,  # the worked example in the SipHash paper
-}
+KAT = {v["msg_len"]: int(v["hash_hex"], 16) for v in _KAT_DOC["vectors"]}
 
 
 def test_known_answer_vectors():

@@ -1,0 +1,70 @@
+"""Text statistics / quality / language-guess / fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators import textstats as ts
+
+
+def _profile(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return ts.document_profile(df, "doc_id", "text").first()
+
+
+def test_token_and_char_counts(spark):
+    p = _profile(spark, "the cat  sat on the mat")
+    assert p.n_tokens == 6  # double space → empty token removed
+    assert p.n_chars == 23
+
+
+def test_punct_ratio(spark):
+    p = _profile(spark, "ab!?")
+    assert p.punct_ratio == 0.5
+
+
+def test_mean_word_len(spark):
+    p = _profile(spark, "ab abcd")  # (2+4)/2
+    assert p.mean_word_len == 3.0
+
+
+def test_stopword_ratio_and_lang_guess(spark):
+    p = _profile(spark, "the cat and the dog of it")
+    assert p.lang_guess == "en"
+    # hits: the, and, the, of, it → 5 of 7 tokens
+    assert abs(p.stopword_ratio_en - round(5 / 7, 6)) < 1e-6
+    assert _profile(spark, "el que la de y").lang_guess == "es"
+    assert _profile(spark, "der und das ist").lang_guess == "de"
+    assert _profile(spark, "xyzzy plugh foo").lang_guess == "und"
+
+
+def test_lang_tie_breaks_by_code_order(spark):
+    # 'la' is both es and fr; 'de' is es and fr → equal scores → es wins
+    # (earlier in LANG_STOPWORDS order), matching the SQL CASE chain
+    p = _profile(spark, "la de")
+    assert p.lang_guess == "es"
+
+
+def test_fingerprint_matches_pure_python(spark):
+    text = "spark crawl frontier test"
+    p = _profile(spark, text)
+    acc = 7
+    for w in text.split():
+        acc = (acc * ts.FINGERPRINT_MUL + (ord(w[0]) + len(w))) % ts.FINGERPRINT_MOD
+    assert p.fingerprint == acc
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    a = _profile(spark, "alpha beta gamma").fingerprint
+    b = _profile(spark, "gamma beta alpha").fingerprint
+    assert a != b
+
+
+def test_quality_bounds(spark, tiny_pages):
+    prof = ts.document_profile(
+        tiny_pages.select(F.col("i").alias("doc_id"), "text"), "doc_id", "text"
+    )
+    row = prof.agg(
+        F.min("quality").alias("lo"), F.max("quality").alias("hi")
+    ).first()
+    assert 0.0 <= row.lo <= row.hi <= 1.0
