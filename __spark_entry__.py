@@ -54,6 +54,22 @@ BIG_K = 1 << 30  # "dequeue everything due" for closed-form oracle queries
 
 
 # --------------------------------------------------------------------- util
+def _ensure_conf(spark: SparkSession) -> None:
+    """Runtime-settable session confs the oracle comparison depends on
+    (the driver's session may not pin these): UTC timestamps and Arrow
+    batching for the pandas-UDF operators."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _wrap(fn):
+    def g(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_conf(spark)
+        return fn(spark, sf_dir)
+
+    return g
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -138,6 +154,7 @@ def _flagship_epoch1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ queries
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full crawl epoch 1 at sf0.001 (driver checks rows>0)."""
+    _ensure_conf(spark)
     return _flagship_epoch1(spark, "/root/testdata/sf0.001")
 
 
@@ -418,6 +435,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_window"] = q_events_window
 
+    def q_json_extract(spark, sf):
+        # O-14: JSON decode of API-response-style payloads (events.props)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+
+    q["json_extract"] = q_json_extract
+
+    def q_running_sum(spark, sf):
+        # window frame spec: per-customer running order total by date
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .alias("running_total"),
+        )
+
+    q["running_sum"] = q_running_sum
+
+    def q_set_intersect(spark, sf):
+        # set op: customers active in both 1996 and 1997
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+        b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+        return a.intersect(b)
+
+    q["set_intersect"] = q_set_intersect
+
+    def q_pivot_status(spark, sf):
+        # pivot: order counts per priority × status
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return (
+            o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)))
+            .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+            .na.fill(0, ["n_f", "n_o", "n_p"])  # empty pivot cell == 0
+        )
+
+    q["pivot_status"] = q_pivot_status
+
     def q_sessionize(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
             "ts", F.col("ts").cast("timestamp")
@@ -438,7 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = q_sessionize
 
-    return q
+    return {name: _wrap(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -669,6 +736,29 @@ GROUP BY ROLLUP (r_name, n_name)"""
 SELECT date_trunc('hour', ts) AS win_start, event_type,
        count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
 FROM events GROUP BY 1, 2"""
+
+    o["json_extract"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events"""
+
+    o["running_sum"] = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+FROM orders"""
+
+    o["set_intersect"] = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997"""
+
+    o["pivot_status"] = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority"""
 
     o["sessionize"] = """
 WITH g AS (

@@ -70,9 +70,11 @@ def main():
     dq = dequeue_topk(fr, "2024-01-01 00:01:00", 5)
     p = plan_of(dq)
     ok &= check(
-        "dequeue: per-bucket window (no global top-k sort)",
+        "dequeue: per-bucket window w/ group-limit pushdown, no global sort",
         p,
-        must=["Window", "PartitionBy: [part_id"],
+        # WindowGroupLimit = Spark pushed rank<=k INTO the window sort;
+        # the only exchanges are the dedup groupBy and the part_id hash
+        must=["WindowGroupLimit", "Window"],
         must_not=["TakeOrderedAndProject"],
     )
     if p.count("Exchange") > 2:
@@ -89,11 +91,16 @@ def main():
         must_not=["SortMergeJoin"],
     )
 
-    # 4. whole-stage codegen on the extraction column twin
+    # 4. extraction column twin stays JVM-side (no Python eval nodes)
     from hiispider_spark.operators.extract import text_extract_col
 
     p = plan_of(pages.select(text_extract_col(F.col("html")).alias("t")))
-    ok &= check("extract column twin: codegen", p, must=["WholeStageCodegen"])
+    ok &= check(
+        "extract column twin: pure JVM (no Python eval in plan)",
+        p,
+        must=["Project"],
+        must_not=["ArrowEvalPython", "BatchEvalPython"],
+    )
 
     print("\nfull dequeue plan:\n" + plan_of(dq))
     print("\nfull fetch plan:\n" + plan_of(fetched))
