@@ -355,6 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = q_ann_cosine_topk
 
+    def q_embedding_near_dup(spark, sf):
+        return sim.cosine_near_dup_pairs(_emb(spark, sf), threshold=0.3)
+
+    q["embedding_near_dup"] = q_embedding_near_dup
+
     def q_ann_ivf_topk(spark, sf):  # no SQL oracle (approximate path)
         return sim.ivf_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -702,6 +707,19 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+    o["embedding_near_dup"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(
+    list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(a.embedding, b.embedding)])
+    / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN a.embedding]))
+      * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN b.embedding])) ), 6
+  ) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+    list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(a.embedding, b.embedding)])
+    / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN a.embedding]))
+      * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN b.embedding])) ), 6) >= 0.3"""
 
     o["agg_pricing"] = """
 SELECT l_returnflag, l_linestatus,

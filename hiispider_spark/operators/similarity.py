@@ -79,6 +79,34 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim)
+    with vec_a < vec_b and rounded sim ≥ threshold.
+
+    Sandbox: exact all-pairs (broadcast one side). At corpus scale this
+    is the verify stage behind a blocking prefilter — LSH buckets
+    (random hyperplanes) or the IVF assignment below — so the quadratic
+    term only applies within blocks.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), _as_double(F.col("embedding")).alias("va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), _as_double(F.col("embedding")).alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def assign_centroids(embeddings: DataFrame, every: int = 50) -> DataFrame:
     """Deterministic IVF coarse assignment: centroids = vectors with
     vec_id % every == 0; each vector joins its nearest centroid.

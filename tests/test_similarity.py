@@ -59,6 +59,26 @@ def test_brute_force_on_driver_embeddings(spark):
         assert all(n != q for _, _, n in rs)
 
 
+def test_cosine_near_dup_pairs(spark):
+    vecs = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.1]),   # ≈0.995 vs 0
+            (2, [0.0, 1.0]),    # orthogonal
+            (3, [1.0, 0.05]),   # ≈0.999 vs 0, ≈0.998 vs 1
+        ],
+    )
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in sim.cosine_near_dup_pairs(vecs, threshold=0.9).collect()
+    }
+    assert pairs == {(0, 1), (0, 3), (1, 3)}
+    # ordering invariant: a < b always
+    for a, b in pairs:
+        assert a < b
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """IVF with n_probe=1 is approximate; on the driver embeddings it
     should still recover a meaningful fraction of true neighbors, and
