@@ -47,6 +47,7 @@ from hiispider_spark.operators.frontier import (
     requeue_fetched,
 )
 from hiispider_spark.operators.lineage import build_lineage
+from hiispider_spark.operators.negcache import filter_embargoed, next_neg_cache
 from hiispider_spark.sources.catalog import IcebergLike
 from hiispider_spark.sources.synth import EPOCH0, EPOCH_SECONDS
 
@@ -68,6 +69,10 @@ class EpochConfig:
     # False → per-epoch counters come from the lineage table (already
     # computed for the commit) instead of extra count() jobs
     collect_stats: bool = True
+    # host-level negative cache (O-7): hosts with ≥ threshold failures
+    # in one epoch are embargoed for neg_cache_ttl_s
+    neg_cache_fail_threshold: int = 3
+    neg_cache_ttl_s: float = 90.0
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -115,8 +120,13 @@ def run_epoch(
     sl = dequeue_topk(frontier, ts, cfg.k_per_partition).persist()
     n_dequeued = sl.count()
 
+    # host-level negative cache: embargoed hosts drop out before any
+    # downstream shuffle (O-7 — "avoid known-dead work early")
+    neg_cache = cat.read("neg_cache")
+    eligible, embargoed = filter_embargoed(sl, neg_cache, ts)
+
     # politeness: robots prefix rules then per-host token buckets
-    allowed, denied = pol.split_robots(sl, robots)
+    allowed, denied = pol.split_robots(eligible, robots)
     bucketed = pol.apply_token_buckets(
         allowed, cat.read("politeness"), ts, cfg.epoch_seconds
     ).persist()
@@ -153,6 +163,7 @@ def run_epoch(
         .unionByName(backoff.select(*FRONTIER_COLS))
         .unionByName(denied.select(*FRONTIER_COLS))
         .unionByName(deferred)
+        .unionByName(embargoed.select(*FRONTIER_COLS))  # retry post-TTL
     )
 
     # discovered out-links → canonicalize → unseen → merge (O-20/O-21)
@@ -203,9 +214,13 @@ def run_epoch(
     # deleted, so frontier membership == seen_exact membership.)
     from concurrent.futures import ThreadPoolExecutor
 
+    neg_next = next_neg_cache(
+        neg_cache, failed, ts, cfg.neg_cache_fail_threshold, cfg.neg_cache_ttl_s
+    )
     jobs = [
         lambda: cat.stage_overwrite("frontier", new_frontier),
         lambda: cat.stage_overwrite("politeness", politeness_next),
+        lambda: cat.stage_overwrite("neg_cache", neg_next),
         lambda: cat.stage_append("extracted", extracted_new),
         lambda: cat.stage_append("lineage", lin),
     ]

@@ -72,6 +72,18 @@ SEEN_SET = T.StructType(
 
 SEEN_EXACT = T.StructType([T.StructField("url_hash", T.LongType(), False)])
 
+# D3b — host-level negative cache: hosts with repeated failures are
+# embargoed until a TTL expires [hs: hiispider/pagegetter.py (negative
+# cache dicts) †]; request-level negative caching is the frontier's
+# next_fetch_ts backoff itself.
+NEG_CACHE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("until_ts", T.TimestampType(), False),
+        T.StructField("n_failures", T.LongType(), False),
+    ]
+)
+
 # D7 — politeness token-bucket state, persisted across epochs.
 POLITENESS = T.StructType(
     [
@@ -124,6 +136,7 @@ ALL_TABLES = {
     "robots": ROBOTS,
     "seen_set": SEEN_SET,
     "seen_exact": SEEN_EXACT,
+    "neg_cache": NEG_CACHE,
     "politeness": POLITENESS,
     "extracted": EXTRACTED,
     "lineage": LINEAGE,
