@@ -1,0 +1,61 @@
+"""Physical-plan regression guards — the properties that matter at
+100 TB must hold in the optimized plan, not just in intent:
+
+- parquet scans prune columns and push filters,
+- dequeue is a per-bucket window with group-limit pushdown, never a
+  global top-k sort,
+- the fetch join broadcasts the k-bounded slice (page store streams),
+- the extraction Column twin contains no Python eval node.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from hiispider_spark.operators.extract import text_extract_col
+from hiispider_spark.operators.fetch import fetch_join
+from hiispider_spark.operators.frontier import build_frontier, dequeue_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_scan_prunes_and_pushes(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "l_quantity" not in p  # unused column pruned from ReadSchema
+
+
+def test_dequeue_uses_window_group_limit_not_global_sort(spark, tiny_seeds):
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    p = plan_of(dequeue_topk(fr, "2024-01-01 00:01:00", 5))
+    assert "WindowGroupLimit" in p  # rank<=k pushed into the window sort
+    assert "TakeOrderedAndProject" not in p
+    assert "Window" in p
+
+
+def test_fetch_join_broadcasts_slice(spark, tiny_seeds, tiny_pages):
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    fetched, _ = fetch_join(fr, tiny_pages)
+    p = plan_of(fetched)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # would shuffle the page store
+
+
+def test_extraction_column_twin_is_jvm_only(spark, tiny_pages):
+    p = plan_of(tiny_pages.select(text_extract_col(F.col("html")).alias("t")))
+    assert "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p
