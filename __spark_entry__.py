@@ -367,7 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_multimodal_features(spark, sf):  # no SQL oracle (binary plumbing)
         media = synth_media(_docs(spark, sf).select("doc_id"))
-        return extract_media_features(media)
+        # the operator keeps features:array<double>; the driver check
+        # canonicalizes via pandas sort_values, which cannot hash numpy
+        # arrays — serialize at the contract edge only
+        return extract_media_features(media).withColumn(
+            "features", F.to_json(F.col("features"))
+        )
 
     q["multimodal_features"] = q_multimodal_features
 
@@ -551,8 +556,8 @@ WHERE r.disallow_prefix IS NOT NULL
 
     o["politeness_budget"] = f"""WITH {C}, {_SQL_CANON}, {_SQL_GRANT}
 SELECT host,
-       sum(CASE WHEN rn <= budget THEN 1 ELSE 0 END) AS n_granted,
-       sum(CASE WHEN rn <= budget THEN 0 ELSE 1 END) AS n_deferred
+       CAST(sum(CASE WHEN rn <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_granted,
+       CAST(sum(CASE WHEN rn <= budget THEN 0 ELSE 1 END) AS BIGINT) AS n_deferred
 FROM granted GROUP BY host"""
 
     o["fetch_join"] = f"""WITH {C}, {_SQL_CANON}
@@ -605,7 +610,7 @@ FROM canon_seeds"""
 
     o["host_stats"] = f"""WITH {C}
 SELECT host, count(*) AS n_pages,
-       sum(length(html_s)) AS total_bytes,
+       CAST(sum(length(html_s)) AS BIGINT) AS total_bytes,
        min(warc_ts) AS first_ts, max(warc_ts) AS last_ts
 FROM pages_o GROUP BY host"""
 
@@ -723,8 +728,8 @@ WHERE round(
 
     o["agg_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
@@ -752,7 +757,8 @@ GROUP BY ROLLUP (r_name, n_name)"""
 
     o["events_window"] = """
 SELECT date_trunc('hour', ts) AS win_start, event_type,
-       count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
 FROM events GROUP BY 1, 2"""
 
     o["json_extract"] = """
@@ -761,9 +767,10 @@ FROM events"""
 
     o["running_sum"] = """
 SELECT o_custkey, o_orderkey,
-       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DECIMAL(28,2)) AS running_total
 FROM orders"""
 
     o["set_intersect"] = """
@@ -785,7 +792,7 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id"""
 

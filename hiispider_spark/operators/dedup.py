@@ -76,22 +76,19 @@ def ngram_jaccard_pairs(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t")
     )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size("t") - n, F.lit(-1)),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", *[F.col("t")[i + j] for j in range(n)]
-                    ),
-                )
+    # docs with fewer than n tokens have no n-grams: guard explicitly —
+    # sequence(0,-1) would expand descending and emit a spurious partial
+    # gram via concat_ws's null skipping (oracle twin emits none)
+    gram_arr = F.when(
+        F.size("t") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.concat_ws(" ", *[F.col("t")[i + j] for j in range(n)]),
             )
-        ).alias("gram"),
-    )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(gram_arr).alias("gram"))
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -119,10 +116,14 @@ def ngram_jaccard_pairs(
 
 
 def shingles_col(text: Column, k: int = 5) -> Column:
-    """Character k-shingles (distinct) of the normalized text."""
+    """Character k-shingles (distinct) of the normalized text.
+
+    Indices run 0..len-k inclusive so the final shingle is kept; texts
+    shorter than k yield exactly one (whole-text) shingle.
+    """
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.length(text) - k, F.lit(0)) - 1),
+            F.sequence(F.lit(0), F.greatest(F.length(text) - k, F.lit(0))),
             lambda i: text.substr(i + 1, F.lit(k)),
         )
     )
@@ -232,9 +233,21 @@ def simhash_near_dups(
 ) -> DataFrame:
     """SimHash near-duplicate pairs within hamming distance ≤ t.
 
-    Sandbox: verify stage joins on the first 16-bit block (pigeonhole
-    prefilter for t<..), then filters on exact hamming distance.
+    Pigeonhole prefilter: with B > t blocks, any pair within hamming t
+    shares at least one identical block, so the block equi-join is a
+    lossless candidate generator; exact hamming filters after. B adapts
+    to t (B = t+1, capped at 16 so blocks stay ≥4 bits and the join
+    keys stay selective).
     """
+    n_blocks = min(max(max_hamming + 1, 2), 16)
+    base, rem = divmod(64, n_blocks)
+    starts, widths = [], []
+    pos = 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        starts.append(pos)
+        widths.append(w)
+        pos += w
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
         simhash_col(tokens_col(normalized_text(F.col(text_col)))).alias("sig"),
@@ -247,11 +260,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("blk_idx"),
-                        F.shiftright("sig", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("sig", starts[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("blk"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("e"),

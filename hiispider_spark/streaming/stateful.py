@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
+from hiispider_spark.sources.synth import EPOCH_SECONDS
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
@@ -52,14 +54,18 @@ def politeness_bucket_fn(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    epoch_seconds: float = EPOCH_SECONDS,
 ) -> Iterator[pd.DataFrame]:
-    """Grouped-map-with-state function: one call per (host,) per batch."""
+    """Grouped-map-with-state function: one call per (host,) per batch.
+
+    ``epoch_seconds`` is the shared batch-engine constant (the grant
+    arithmetic the equivalence test asserts) — never a local literal.
+    """
     pdf = pd.concat(list(pdfs), ignore_index=True)
     if pdf.empty:  # timeout-only invocation
         return
     delay = float(pdf["crawl_delay"].iloc[0])
     batch_ts = pdf["batch_ts"].max()
-    epoch_seconds = 60.0
     cap = max(1.0, epoch_seconds / max(delay, 1e-9))
     if state.exists:
         tokens_prev, last_unix = state.get
@@ -76,13 +82,19 @@ def politeness_bucket_fn(
         yield granted[["host", "url", "priority", "batch_ts"]]
 
 
-def stream_politeness(requests: DataFrame) -> DataFrame:
+def stream_politeness(
+    requests: DataFrame, epoch_seconds: float = EPOCH_SECONDS
+) -> DataFrame:
     """Wire the stateful operator onto a streaming DataFrame with
     columns INPUT_FIELDS. Returns the granted stream (append mode)."""
+
+    def fn(key, pdfs, state):
+        return politeness_bucket_fn(key, pdfs, state, epoch_seconds)
+
     return (
         requests.groupBy("host")
         .applyInPandasWithState(
-            politeness_bucket_fn,
+            fn,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
