@@ -320,6 +320,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_epoch_flagship"] = _flagship_epoch1
 
+    def q_plugin_routing(spark, sf):
+        # O-10: per-URL plugin dispatch — pages whose number is ≡0 mod 5
+        # run the 'anchor' plugin (first href), the rest the flagship
+        # text plugin; one routed-UDF pass, not one scan per plugin
+        pages = synth_pages(spark, sf)
+        fr = _frontier(spark, sf).withColumn(
+            "plugin",
+            F.when(
+                F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") % 5 == 0,
+                F.lit("anchor"),
+            ).otherwise(F.lit("text")),
+        )
+        fetched, _ = fetch_join(fr, pages)
+        ext = run_extraction(with_content_sha1(fetched), epoch=1)
+        return ext.select("url", "plugin", "text")
+
+    q["plugin_routing"] = q_plugin_routing
+
     # --- training-data operators ---
     def q_dedup_exact(spark, sf):
         pages = synth_pages(spark, sf).select(F.col("i").alias("doc_id"), "text")
@@ -364,6 +382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ivf_topk(_emb(spark, sf), list(range(10)), k=5)
 
     q["ann_ivf_topk"] = q_ann_ivf_topk
+
+    def q_embedding_near_dup_lsh(spark, sf):  # no SQL oracle (LSH banding)
+        # the 10^9-vector shape: random-hyperplane banding prefilter +
+        # exact cosine verify, demonstrated on a corpus with planted
+        # twins (the raw synthetic corpus has no true near-dups)
+        corpus = sim.planted_near_dup_corpus(_emb(spark, sf), n_twins=100)
+        return sim.hyperplane_near_dup_pairs(corpus, threshold=0.9)
+
+    q["embedding_near_dup_lsh"] = q_embedding_near_dup_lsh
 
     def q_multimodal_features(spark, sf):  # no SQL oracle (binary plumbing)
         media = synth_media(_docs(spark, sf).select("doc_id"))
@@ -623,6 +650,20 @@ SELECT p.url, regexp_replace(p.html_s, '<[^>]*>', '', 'g') AS text,
        sha256(p.html_s) AS content_sha256
 FROM granted g JOIN pages_o p ON g.url = p.url
 WHERE g.rn <= g.budget"""
+
+    o["plugin_routing"] = f"""WITH {C}, {_SQL_CANON},
+  routed AS (
+    SELECT c.url,
+           CASE WHEN CAST(regexp_extract(c.url, '/p/(\\d+)$', 1) AS BIGINT) % 5 = 0
+                THEN 'anchor' ELSE 'text' END AS plugin,
+           p.html_s
+    FROM canon_seeds c JOIN pages_o p USING (url)
+  )
+SELECT url, plugin,
+       CASE WHEN plugin = 'anchor'
+            THEN regexp_extract(html_s, 'href="([^"]*)"', 1)
+            ELSE regexp_replace(html_s, '<[^>]*>', '', 'g') END AS text
+FROM routed"""
 
     o["dedup_exact"] = f"""WITH {C}
 SELECT md5(regexp_replace(text, ' #\\d+$', '')) AS text_hash,

@@ -62,13 +62,44 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(canonicalize_url)
 
 
+def _sorted_query_col(query: Column) -> Column:
+    """Query string with params stable-sorted by key (duplicates keep
+    their original relative order — exactly the pure-Python spec's
+    ``list.sort(key=...)`` semantics, reproduced with an index-decorated
+    ``array_sort`` comparator). Pure Column expressions, JVM-side."""
+    pairs = F.filter(F.split(query, "&"), lambda p: p != "")
+    decorated = F.transform(
+        pairs,
+        lambda p, i: F.struct(
+            F.split(p, "=", 2)[0].alias("k"), i.alias("i"), p.alias("p")
+        ),
+    )
+
+    def cmp(a, b):
+        return (
+            F.when(a["k"] < b["k"], F.lit(-1))
+            .when(a["k"] > b["k"], F.lit(1))
+            # equal keys: original index — a STABLE sort by key
+            .when(a["i"] < b["i"], F.lit(-1))
+            .when(a["i"] > b["i"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return F.array_join(
+        F.transform(F.array_sort(decorated, cmp), lambda s: s["p"]), "&"
+    )
+
+
 def canonical_url_col(url: Column) -> Column:
     """Column-expression canonicalization (JVM-side, codegen'd).
 
-    Covers: fragment strip, scheme+host lowercase, :80/:443 strip,
-    empty-path → "/". Query-param sorting is left to the UDF path —
-    the synthetic corpus has no query strings, and the pure-Python spec
-    remains the authority (test_canon cross-checks all three impls).
+    Covers the full spec: fragment strip, scheme+host lowercase,
+    :80/:443 strip, empty-path → "/", and query params stable-sorted by
+    key — so the HOT PATH (frontier identity, link merge) collapses
+    query-permuted spellings exactly like :func:`canonicalize_url`.
+    test_canon cross-checks all three impls, including query URLs.
+    (The DuckDB oracle twin omits query sorting — the synthetic corpus
+    carries no query strings, so the twin stays byte-equivalent there.)
     """
     u = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -81,8 +112,13 @@ def canonical_url_col(url: Column) -> Column:
         (scheme == F.lit("https")) & hostport.endswith(":443"),
         F.substring(hostport, 1, F.length(hostport) - 4),
     ).otherwise(hostport)
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
-    return F.concat(scheme, F.lit("://"), hostport, rest)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    sorted_q = _sorted_query_col(F.regexp_extract(rest, r"\?(.*)$", 1))
+    tail = F.when(
+        sorted_q == "", F.lit("")  # no query, or only empty '&' pairs
+    ).otherwise(F.concat(F.lit("?"), sorted_q))
+    return F.concat(scheme, F.lit("://"), hostport, path, tail)
 
 
 def host_col(url: Column) -> Column:

@@ -36,11 +36,39 @@ def _decode_utf8(html: pd.Series) -> pd.Series:
     return html.map(lambda b: b.decode("utf-8", errors="replace"))
 
 
+# --- plugin implementations: pd.Series[bytes] -> pd.Series[str] -------------
+def _text_impl(html: pd.Series) -> pd.Series:
+    return _decode_utf8(html).str.replace(_TAG_RE, "", regex=True)
+
+
+def _title_impl(html: pd.Series) -> pd.Series:
+    return _decode_utf8(html).str.extract(r"<title>([^<]*)</title>", expand=False)
+
+
+def _anchor_impl(html: pd.Series) -> pd.Series:
+    """First href in the document (a link-centric plugin that has real
+    output on any page with out-links)."""
+    return _decode_utf8(html).str.extract(_HREF_RE, expand=False)
+
+
+#: per-URL-routable text plugins (O-10): name -> vectorized impl. The
+#: Spark equivalent of BaseServer.functions — the dict ships inside the
+#: routed UDF's closure (task-broadcast), replacing the reference's
+#: Redis/memcached job-spec memoization with a broadcast registry.
+TEXT_PLUGIN_IMPLS = {
+    "text": _text_impl,
+    "title": _title_impl,
+    "anchor": _anchor_impl,
+}
+
+DEFAULT_PLUGIN = "text"
+
+
 @F.pandas_udf(T.StringType())
 def text_extract_udf(html: pd.Series) -> pd.Series:
     """Flagship plugin: strip markup, keep text — byte-identical to the
     corpus ``text`` column (the BASELINE.json:15 invariant)."""
-    return _decode_utf8(html).str.replace(_TAG_RE, "", regex=True)
+    return _text_impl(html)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -52,7 +80,34 @@ def links_extract_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def title_extract_udf(html: pd.Series) -> pd.Series:
     """<title> plugin — exercises a second registry entry."""
-    return _decode_utf8(html).str.extract(r"<title>([^<]*)</title>", expand=False)
+    return _title_impl(html)
+
+
+@F.pandas_udf(T.StringType())
+def routed_extract_udf(html: pd.Series, plugin: pd.Series) -> pd.Series:
+    """Per-URL plugin dispatch (O-10) in ONE pass over the data.
+
+    The reference resolves each job's ``"plugin/function"`` string to a
+    callable and invokes it per job [hs: hiispider/servers/base.py::
+    callExposedFunction †]. Here dispatch happens inside each Arrow
+    batch: rows are masked per plugin name and each impl runs vectorized
+    on its own subset — no per-row Python, no second scan per plugin
+    (a filter-and-union per registry entry would re-read the epoch
+    slice once per plugin). Unknown plugin names fall back to the
+    flagship text extractor rather than failing the batch (the
+    reference wraps unknown-function errors per job, not per worker).
+    """
+    out = pd.Series([None] * len(html), index=html.index, dtype=object)
+    routed = pd.Series([False] * len(html), index=html.index)
+    for name, impl in TEXT_PLUGIN_IMPLS.items():
+        mask = (plugin == name).to_numpy()
+        if mask.any():
+            out[mask] = impl(html[mask]).astype(object)
+            routed[mask] = True
+    rest = (~routed).to_numpy()
+    if rest.any():
+        out[rest] = TEXT_PLUGIN_IMPLS[DEFAULT_PLUGIN](html[rest]).astype(object)
+    return out
 
 
 # O-13 — evaluateBoolean [hs: hiispider/evaluateboolean.py †]
@@ -64,6 +119,7 @@ def evaluate_boolean_col(c: Column) -> Column:
 
 
 #: plugin registry — the Spark equivalent of BaseServer.functions
+#: (standalone UDFs; per-URL routing goes through routed_extract_udf)
 PLUGINS = {
     "text": text_extract_udf,
     "links": links_extract_udf,
@@ -81,19 +137,28 @@ def text_extract_col(html: Column) -> Column:
 
 
 def run_extraction(modified: DataFrame, epoch: int) -> DataFrame:
-    """Apply the flagship plugins → ``extracted`` rows (O-11).
+    """Apply the routed plugins → ``extracted`` rows (O-10/O-11).
 
-    items = out-links as (item_hash, payload) pairs; item_hash is
-    xxhash64 of the payload (JVM-side), feeding the delta operator.
+    ``text`` is the row's own plugin's output (``plugin`` column on the
+    frontier row; rows without one run the flagship text plugin). Links
+    are extracted for EVERY row regardless of plugin — frontier
+    expansion is the crawler's job, not the plugin's. items =
+    out-links as (item_hash, payload) pairs; item_hash is xxhash64 of
+    the payload (JVM-side), feeding the delta operator.
     """
     links = links_extract_udf(F.col("html"))
     carry = ["part_id"] if "part_id" in modified.columns else []
+    plugin = (
+        F.col("plugin")
+        if "plugin" in modified.columns
+        else F.lit(DEFAULT_PLUGIN)
+    )
     return modified.select(
         *carry,
         "url_hash",
         "url",
-        F.lit("text").alias("plugin"),
-        text_extract_udf(F.col("html")).alias("text"),
+        plugin.alias("plugin"),
+        routed_extract_udf(F.col("html"), plugin).alias("text"),
         F.transform(
             links,
             lambda u: F.struct(

@@ -42,8 +42,10 @@ def fetch_join(
     bucket both tables by url_hash instead (`broadcast_slice=False`
     falls back to Catalyst's choice).
 
-    ``failed`` is granted minus fetched — derived from the (persisted)
-    fetch output rather than a second anti-join against the page store.
+    ``failed`` is granted minus fetched. NOTE: it references the raw
+    join plan — a caller that persists a *derived* frame (e.g. after
+    with_content_sha1) must re-derive failed from the persisted frame,
+    or the page-store join executes twice (run_epoch does this).
     """
     page_cols = pages.select("url", F.col("warc_ts"), F.col("html"))
     g = F.broadcast(granted) if broadcast_slice else granted

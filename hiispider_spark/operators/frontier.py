@@ -56,30 +56,55 @@ def build_frontier(
     n_partitions: int = DEFAULT_PARTITIONS,
     n_salts: int = DEFAULT_SALTS,
     interval_s: int = DEFAULT_INTERVAL_S,
+    stagger_s: int = 0,
+    stagger_seed: int = 42,
 ) -> DataFrame:
     """Seed list → frontier table (O-1 + O-21 initial load).
 
     Canonicalizes (non-canonical spellings collapse), dedups keeping the
     highest priority (deterministic), assigns identity hash + salted
-    bucket, schedules everything as due at EPOCH0.
+    bucket + plugin (O-10: seeds may carry a ``plugin`` column — the
+    reference's per-job "plugin/function" type; default = flagship
+    text), schedules everything as due at EPOCH0.
+
+    ``stagger_s > 0`` spreads first fetches over [0, stagger_s) seconds
+    via ``pmod(xxhash64(url_hash, seed), stagger_s)`` — the reference's
+    boot stagger (random.randint re-expressed deterministically, O-15
+    [hs: hiispider/servers/scheduler.py (heap push) †]) so a 10^10-row
+    boot doesn't thunder-herd epoch 1. Default 0 keeps the closed-form
+    golden fixtures (everything due at EPOCH0).
     """
+    has_plugin = "plugin" in seeds.columns
     canon = seeds.select(
-        canonical_url_col(F.col("url")).alias("url"), "priority"
+        canonical_url_col(F.col("url")).alias("url"),
+        "priority",
+        *(["plugin"] if has_plugin else []),
     )
-    dedup = canon.groupBy("url").agg(F.max("priority").alias("priority"))
+    aggs = [F.max("priority").alias("priority")]
+    if has_plugin:
+        aggs.append(F.min("plugin").alias("plugin"))  # deterministic pick
+    dedup = canon.groupBy("url").agg(*aggs)
+    if not has_plugin:
+        dedup = dedup.withColumn("plugin", F.lit("text"))
     url = F.col("url")
+    first_ts = F.lit(EPOCH0).cast("timestamp")
+    if stagger_s > 0:
+        offset = F.pmod(
+            F.xxhash64(F.col("url_hash"), F.lit(stagger_seed)), F.lit(stagger_s)
+        )
+        first_ts = first_ts + F.make_interval(secs=offset.cast("double"))
     return (
         dedup.withColumn("url_hash", url_hash_udf(url))
         .withColumn("host", host_col(url))
         .withColumn("salt", salt_col(url, n_salts))
         .withColumn("part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions))
-        .withColumn("next_fetch_ts", F.lit(EPOCH0).cast("timestamp"))
+        .withColumn("next_fetch_ts", first_ts)
         .withColumn("interval_s", F.lit(interval_s))
         .withColumn("retry_count", F.lit(0))
         .withColumn("state", F.lit("pending"))
         .select(
             "url", "url_hash", "host", "salt", "part_id", "priority",
-            "next_fetch_ts", "interval_s", "retry_count", "state",
+            "next_fetch_ts", "interval_s", "retry_count", "state", "plugin",
         )
         .repartition(n_partitions, "part_id")
     )
@@ -147,6 +172,7 @@ def new_frontier_entries(
     n_salts: int = DEFAULT_SALTS,
     interval_s: int = DEFAULT_INTERVAL_S,
     discovered_priority: float = 0.1,
+    discovered_plugin: str = "text",
 ) -> DataFrame:
     """Frontier-shaped rows for discovered URLs not yet in the frontier
     (the insert side of O-21). Exposed separately from the union so the
@@ -156,24 +182,33 @@ def new_frontier_entries(
     (operators.seen) cuts this probe by ~99% before the exact join.
     """
     url = F.col("url")
-    if "url_hash" in new_urls.columns:  # caller already hashed (cached)
-        hashed = new_urls.select("url", "url_hash").dropDuplicates(["url"])
-    else:
-        hashed = (
-            new_urls.select(url.alias("url"))
-            .dropDuplicates(["url"])
-            .withColumn("url_hash", url_hash_udf(url))
+    # reuse whatever identity columns the caller already computed
+    # (the epoch pre-buckets candidates for the co-partitioned bloom
+    # probe — recomputing the UDF hash here would double the work)
+    keep = [
+        c for c in ("url", "url_hash", "host", "salt", "part_id")
+        if c in new_urls.columns
+    ]
+    hashed = new_urls.select(*keep).dropDuplicates(["url"])
+    if "url_hash" not in keep:
+        hashed = hashed.withColumn("url_hash", url_hash_udf(url))
+    candidates = hashed.join(frontier.select("url_hash"), "url_hash", "left_anti")
+    if "host" not in keep:
+        candidates = candidates.withColumn("host", host_col(url))
+    if "salt" not in keep:
+        candidates = candidates.withColumn("salt", salt_col(url, n_salts))
+    if "part_id" not in keep:
+        candidates = candidates.withColumn(
+            "part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions)
         )
     candidates = (
-        hashed.join(frontier.select("url_hash"), "url_hash", "left_anti")
-        .withColumn("host", host_col(url))
-        .withColumn("salt", salt_col(url, n_salts))
-        .withColumn("part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions))
+        candidates
         .withColumn("priority", F.lit(discovered_priority))
         .withColumn("next_fetch_ts", F.lit(epoch_ts).cast("timestamp"))
         .withColumn("interval_s", F.lit(interval_s))
         .withColumn("retry_count", F.lit(0))
         .withColumn("state", F.lit("pending"))
+        .withColumn("plugin", F.lit(discovered_plugin))
         .select(*frontier.columns)
     )
     return candidates

@@ -206,6 +206,58 @@ def might_contain_udf(
     return might_contain
 
 
+def filter_unseen_partitioned(
+    candidates: DataFrame,
+    seen_set: DataFrame,
+    seen_exact: DataFrame,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Co-partitioned bloom prefilter + exact anti-join (the 10^10 shape).
+
+    ``candidates`` must carry (url_hash, part_id) where part_id is the
+    same salted bucket function the frontier uses — a seen URL's bloom
+    bits live exactly in its own bucket's filter, so probing only that
+    bucket is equivalent to probing the global union (with *better*
+    fpp). The probe is a cogroup on part_id: each bucket's candidates
+    meet that bucket's single bloom row inside one applyInPandas call —
+    filter bytes move executor-to-executor once per bucket, **never to
+    the driver** (contrast union_blooms_tree, which materializes the
+    union driver-side: fine for ad-hoc membership queries, a ~12 GB
+    driver collect per epoch at 10^10 sizing).
+
+    Bloom semantics unchanged: no false negatives, so bloom-negative
+    rows are definitely unseen; bloom-positive rows go to the exact
+    anti-join authority.
+    """
+    out_schema = T.StructType(
+        list(candidates.schema.fields)
+        + [T.StructField("_maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(key, cand: pd.DataFrame, blooms: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty or blooms.empty:
+            return cand.assign(_maybe_seen=np.zeros(len(cand), dtype=bool))
+        bloom = np.frombuffer(blooms["bloom"].iloc[0], dtype=np.uint8)
+        for b in blooms["bloom"].iloc[1:]:  # defensive: ≤1 row per bucket
+            bloom = bloom | np.frombuffer(b, dtype=np.uint8)
+        h = cand["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        return cand.assign(_maybe_seen=_contains(bloom, h, m_bits, k))
+
+    flagged = (
+        candidates.groupby("part_id")
+        .cogroup(seen_set.groupby("partition_id"))
+        .applyInPandas(probe, out_schema)
+    )
+    definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    checked = (
+        flagged.filter(F.col("_maybe_seen"))
+        .drop("_maybe_seen")
+        .join(seen_exact, "url_hash", "left_anti")
+    )
+    return definitely_new.unionByName(checked)
+
+
 def filter_unseen(
     new_urls: DataFrame,
     seen_exact: DataFrame,

@@ -29,7 +29,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hiispider_spark.functions.canon import canonical_url_col
+from hiispider_spark.functions.canon import canonical_url_col, host_col
 from hiispider_spark.operators import politeness as pol
 from hiispider_spark.operators import seen as seen_ops
 from hiispider_spark.operators.delta import explode_items
@@ -43,8 +43,10 @@ from hiispider_spark.operators.frontier import (
     build_frontier,
     dequeue_topk,
     new_frontier_entries,
+    part_id_col,
     requeue_failed,
     requeue_fetched,
+    salt_col,
 )
 from hiispider_spark.operators.lineage import build_lineage
 from hiispider_spark.operators.negcache import filter_embargoed, next_neg_cache
@@ -53,7 +55,7 @@ from hiispider_spark.sources.synth import EPOCH0, EPOCH_SECONDS
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "salt", "part_id", "priority",
-    "next_fetch_ts", "interval_s", "retry_count", "state",
+    "next_fetch_ts", "interval_s", "retry_count", "state", "plugin",
 ]
 
 
@@ -73,6 +75,9 @@ class EpochConfig:
     # in one epoch are embargoed for neg_cache_ttl_s
     neg_cache_fail_threshold: int = 3
     neg_cache_ttl_s: float = 90.0
+    # O-15 boot stagger: spread first fetches over [0, boot_stagger_s)
+    # seconds (deterministic hash of url_hash) — 0 keeps golden fixtures
+    boot_stagger_s: int = 0
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -88,16 +93,24 @@ def bootstrap(
     seeds: DataFrame,
     cfg: EpochConfig = EpochConfig(),
 ) -> None:
-    """Epoch 0: seed list → frontier + seen set; atomic initial commit."""
+    """Epoch 0: seed list → frontier + seen set; atomic initial commit.
+
+    frontier and seen_set are written partition-level from the start so
+    later epochs can carry untouched buckets over by manifest reference.
+    """
     frontier = build_frontier(
-        seeds, cfg.n_partitions, cfg.n_salts, cfg.interval_s
+        seeds, cfg.n_partitions, cfg.n_salts, cfg.interval_s,
+        stagger_s=cfg.boot_stagger_s,
     )
-    cat.stage_overwrite("frontier", frontier)
+    all_parts = list(range(cfg.n_partitions))
+    cat.stage_overwrite_parts("frontier", frontier, "part_id", all_parts)
     frontier_c = cat.read_staged("frontier")  # materialized once on disk
     cat.stage_overwrite("seen_exact", frontier_c.select("url_hash"))
-    cat.stage_overwrite(
+    cat.stage_overwrite_parts(
         "seen_set",
         seen_ops.build_partition_blooms(frontier_c, cfg.bloom_m_bits),
+        "partition_id",
+        all_parts,
     )
     cat.commit(epoch=0)
 
@@ -119,6 +132,12 @@ def run_epoch(
     # compute the same uncached subtree in one job, duplicating work
     sl = dequeue_topk(frontier, ts, cfg.k_per_partition).persist()
     n_dequeued = sl.count()
+    # buckets this epoch touches (bounded by P ints — the only driver
+    # collect in the pipeline besides counters); everything the epoch
+    # rewrites lives in these buckets + the buckets of inserted links
+    touched = sorted(
+        r.part_id for r in sl.select("part_id").distinct().collect()
+    )
 
     # host-level negative cache: embargoed hosts drop out before any
     # downstream shuffle (O-7 — "avoid known-dead work early")
@@ -138,62 +157,95 @@ def run_epoch(
     # DISK_ONLY: these rows carry html bytes — unrolling them into the
     # memory store across many concurrent tasks GC-thrashes; streaming
     # to local disk scales linearly with cores.
-    fetched, failed = fetch_join(granted, pages)
+    fetched, _ = fetch_join(granted, pages)
     fetched = with_content_sha1(fetched).persist(StorageLevel.DISK_ONLY)
     n_fetched = fetched.count()
-    cache = (
-        cat.read("extracted")
-        .groupBy("url_hash")
-        .agg(F.max_by("content_sha1", "epoch").alias("content_sha1"))
+    # failed re-derived from the PERSISTED frame — the tuple's own
+    # anti-join references the pre-persist plan and would run the
+    # broadcast join against the page store a second time
+    failed = granted.join(fetched.select("url"), "url", "left_anti")
+    # conditional GET against the compact page_cache state table —
+    # O(slice) per epoch (only touched buckets' cache files open),
+    # never a scan+aggregate of the ever-growing extracted history
+    cache = cat.read_parts("page_cache", touched).select(
+        "url_hash", "content_sha1"
     )
     modified, unchanged = split_modified(fetched, cache)
 
     extracted_new = run_extraction(modified, e).persist(StorageLevel.DISK_ONLY)
     n_extracted = extracted_new.count()
 
-    # frontier write-back: untouched ∪ requeued ∪ backoff ∪ denied ∪ deferred
-    untouched = frontier.join(sl.select("url_hash"), "url_hash", "left_anti")
-    requeued = requeue_fetched(
-        fetched.select(*FRONTIER_COLS), ts
+    # discovered out-links → canonicalize → unseen → new entries
+    # (O-20/O-21). Candidates get their salted bucket up front so the
+    # bloom probe is CO-PARTITIONED: each bucket's candidates meet that
+    # bucket's filter row in a cogroup — no treeAggregate of the full
+    # filter onto the driver (a ~12 GB collect per epoch at 10^10
+    # sizing; union_blooms_tree remains for ad-hoc membership queries).
+    hashed = inserted = None
+    ins_parts: list[int] = []
+    if cfg.follow_links:
+        from hiispider_spark.functions.siphash import url_hash_udf
+
+        # canonicalize + hash + bucket once, cache — the probe's two
+        # branches (bloom-definite-new ∪ exact-checked) both read this
+        url = F.col("url")
+        hashed = (
+            explode_items(extracted_new)
+            .select(canonical_url_col(F.col("payload")).alias("url"))
+            .dropDuplicates(["url"])
+            .withColumn("url_hash", url_hash_udf(url))
+            .withColumn("host", host_col(url))
+            .withColumn("salt", salt_col(url, cfg.n_salts))
+            .withColumn(
+                "part_id",
+                part_id_col(F.col("host"), F.col("salt"), cfg.n_partitions),
+            )
+            .persist()
+        )
+        hashed.count()
+        unseen = seen_ops.filter_unseen_partitioned(
+            hashed, cat.read("seen_set"), cat.read("seen_exact"),
+            cfg.bloom_m_bits,
+        )
+        inserted = new_frontier_entries(
+            frontier, unseen, ts,
+            cfg.n_partitions, cfg.n_salts, cfg.interval_s,
+        ).persist()
+        inserted.count()
+        ins_parts = sorted(
+            r.part_id for r in inserted.select("part_id").distinct().collect()
+        )
+
+    # frontier write-back, partition-level: only buckets this epoch
+    # touched (dequeued from, or inserted into) are rewritten; all other
+    # buckets carry over by manifest reference. ``resident`` = rows of
+    # touched buckets that were NOT dequeued — read via manifest-pruned
+    # bucket paths, never a full-table scan.
+    touched_all = sorted(set(touched) | set(ins_parts))
+    resident = cat.read_parts("frontier", touched_all).join(
+        sl.select("url_hash"), "url_hash", "left_anti"
     )
+    requeued = requeue_fetched(fetched.select(*FRONTIER_COLS), ts)
     backoff = requeue_failed(failed.select(*FRONTIER_COLS), ts)
     new_frontier = (
-        untouched.select(*FRONTIER_COLS)
+        resident.select(*FRONTIER_COLS)
         .unionByName(requeued.select(*FRONTIER_COLS))
         .unionByName(backoff.select(*FRONTIER_COLS))
         .unionByName(denied.select(*FRONTIER_COLS))
         .unionByName(deferred)
         .unionByName(embargoed.select(*FRONTIER_COLS))  # retry post-TTL
     )
-
-    # discovered out-links → canonicalize → unseen → merge (O-20/O-21)
-    hashed = inserted = None
-    if cfg.follow_links:
-        from hiispider_spark.functions.siphash import url_hash_udf
-
-        # canonicalize + hash once, cache — filter_unseen's two branches
-        # (bloom-definite-new ∪ exact-checked) both read this
-        hashed = (
-            explode_items(extracted_new)
-            .select(canonical_url_col(F.col("payload")).alias("url"))
-            .dropDuplicates(["url"])
-            .withColumn("url_hash", url_hash_udf(F.col("url")))
-            .persist()
-        )
-        hashed.count()
-        seen_exact = cat.read("seen_exact")
-        bloom = seen_ops.union_blooms_tree(cat.read("seen_set"), cfg.bloom_m_bits)
-        unseen = seen_ops.filter_unseen(
-            hashed, seen_exact, spark, bloom, cfg.bloom_m_bits
-        )
-        inserted = new_frontier_entries(
-            new_frontier, unseen.select("url", "url_hash"), ts,
-            cfg.n_partitions, cfg.n_salts, cfg.interval_s,
-        ).persist()
-        inserted.count()
-        new_frontier = new_frontier.unionByName(inserted)
-
+    if inserted is not None:
+        new_frontier = new_frontier.unionByName(inserted.select(*FRONTIER_COLS))
     new_frontier = new_frontier.repartition(cfg.n_partitions, "part_id")
+
+    # page-cache state: fetched rows replace their digests, the rest of
+    # the touched buckets carry; untouched buckets never open
+    cache_next = fetched.select("part_id", "url_hash", "content_sha1").unionByName(
+        cat.read_parts("page_cache", touched).join(
+            fetched.select("url_hash"), "url_hash", "left_anti"
+        )
+    )
 
     # politeness state: updated hosts replace, absent hosts carry over
     new_state = pol.next_politeness_state(bucketed, ts)
@@ -205,35 +257,45 @@ def run_epoch(
     # lineage (per-bucket metrics) — extraction carries part_id through
     lin = build_lineage(sl, fetched, extracted_new, failed, e, ts)
 
-    # stage + atomic commit. The six table writes are independent given
-    # the persisted intermediates, so they run as concurrent Spark jobs
-    # from driver threads — overlapping ~6 sequential job latencies into
-    # ~max(one). (Seen set is incremental: append only this epoch's
-    # inserted URLs to seen_exact and OR their bloom bits into the
-    # per-partition filters — O(new) per epoch; frontier rows are never
-    # deleted, so frontier membership == seen_exact membership.)
+    # stage + atomic commit. The table writes are independent given the
+    # persisted intermediates, so they run as concurrent Spark jobs from
+    # driver threads — overlapping sequential job latencies into
+    # ~max(one). All bucketed state (frontier, page_cache, seen_set) is
+    # committed partition-level: write O(touched buckets), untouched
+    # buckets carry by manifest reference. (Seen set is incremental:
+    # append only this epoch's inserted URLs to seen_exact and OR their
+    # bloom bits into the touched partitions' filters — O(new) per
+    # epoch; frontier rows are never deleted, so frontier membership ==
+    # seen_exact membership.)
     from concurrent.futures import ThreadPoolExecutor
 
     neg_next = next_neg_cache(
         neg_cache, failed, ts, cfg.neg_cache_fail_threshold, cfg.neg_cache_ttl_s
     )
     jobs = [
-        lambda: cat.stage_overwrite("frontier", new_frontier),
+        lambda: cat.stage_overwrite_parts(
+            "frontier", new_frontier, "part_id", touched_all
+        ),
         lambda: cat.stage_overwrite("politeness", politeness_next),
         lambda: cat.stage_overwrite("neg_cache", neg_next),
+        lambda: cat.stage_overwrite_parts(
+            "page_cache", cache_next, "part_id", touched
+        ),
         lambda: cat.stage_append("extracted", extracted_new),
         lambda: cat.stage_append("lineage", lin),
     ]
     if cfg.follow_links:
         jobs.append(lambda: cat.stage_append("seen_exact", inserted.select("url_hash")))
         jobs.append(
-            lambda: cat.stage_overwrite(
+            lambda: cat.stage_overwrite_parts(
                 "seen_set",
                 seen_ops.merge_partition_blooms(
-                    cat.read("seen_set"),
+                    cat.read_parts("seen_set", ins_parts, "partition_id"),
                     inserted.select("part_id", "url_hash"),
                     cfg.bloom_m_bits,
                 ),
+                "partition_id",
+                ins_parts,
             )
         )
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:

@@ -35,6 +35,9 @@ FRONTIER = T.StructType(
         T.StructField("interval_s", T.IntegerType(), False),
         T.StructField("retry_count", T.IntegerType(), False),
         T.StructField("state", T.StringType(), False),
+        # O-10: the reference's "plugin/function" job type — which
+        # extract plugin runs on this URL's fetched body
+        T.StructField("plugin", T.StringType(), False),
     ]
 )
 
@@ -81,6 +84,19 @@ NEG_CACHE = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("until_ts", T.TimestampType(), False),
         T.StructField("n_failures", T.LongType(), False),
+    ]
+)
+
+# D2b — compact conditional-GET state: latest content digest per URL,
+# updated incrementally per epoch (O(slice)) instead of re-aggregating
+# the ever-growing ``extracted`` history [hs: hiispider/pagegetter.py
+# (Cassandra cache read) †]. Bucketed by part_id like the frontier so
+# partition-level commits apply.
+PAGE_CACHE = T.StructType(
+    [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("content_sha1", T.StringType(), False),
     ]
 )
 
@@ -137,6 +153,7 @@ ALL_TABLES = {
     "seen_set": SEEN_SET,
     "seen_exact": SEEN_EXACT,
     "neg_cache": NEG_CACHE,
+    "page_cache": PAGE_CACHE,
     "politeness": POLITENESS,
     "extracted": EXTRACTED,
     "lineage": LINEAGE,

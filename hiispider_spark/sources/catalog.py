@@ -58,17 +58,47 @@ class IcebergLike:
         return int(self.manifest["epoch"])
 
     # ----------------------------------------------------------------- read
-    def read(self, name: str) -> DataFrame:
-        """Current committed snapshot of ``name`` (staged writes invisible,
-        exactly like reading an Iceberg table mid-transaction)."""
-        entry = self.manifest["tables"].get(name)
-        if entry is None or not entry["paths"]:
+    @staticmethod
+    def _entry_paths(entry: dict[str, Any]) -> list[str]:
+        """Relative data paths of a manifest entry — full-snapshot form
+        ("paths": [...]) or partition-level form ("parts": {pid: path})."""
+        if "parts" in entry:
+            return list(entry["parts"].values())
+        return list(entry.get("paths", []))
+
+    def _read_entry(self, name: str, entry: dict[str, Any] | None) -> DataFrame:
+        rels = self._entry_paths(entry) if entry else []
+        if not rels:
             schema = schemas.ALL_TABLES.get(name)
             if schema is None:
                 raise KeyError(f"unknown table {name!r} with no snapshot")
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, p) for p in entry["paths"]]
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, p) for p in rels]
+        )
+
+    def read(self, name: str) -> DataFrame:
+        """Current committed snapshot of ``name`` (staged writes invisible,
+        exactly like reading an Iceberg table mid-transaction)."""
+        return self._read_entry(name, self.manifest["tables"].get(name))
+
+    def read_parts(
+        self, name: str, parts: list[int], part_col: str = "part_id"
+    ) -> DataFrame:
+        """Committed snapshot restricted to the given partitions —
+        partition pruning at the manifest level: untouched buckets'
+        files are never opened (the Iceberg partition-scan analogue)."""
+        entry = self.manifest["tables"].get(name)
+        if entry is None or "parts" not in entry:
+            from pyspark.sql import functions as F
+
+            return self.read(name).filter(F.col(part_col).isin(list(parts)))
+        rels = [entry["parts"][str(p)] for p in parts if str(p) in entry["parts"]]
+        if not rels:
+            return self.spark.createDataFrame([], schemas.ALL_TABLES[name])
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, p) for p in rels]
+        )
 
     def read_staged(self, name: str) -> DataFrame:
         """Read the staged (not-yet-committed) version of ``name`` if one
@@ -77,8 +107,7 @@ class IcebergLike:
         entry = self._staged.get(name)
         if entry is None:
             return self.read(name)
-        paths = [os.path.join(self.root, p) for p in entry["paths"]]
-        return self.spark.read.parquet(*paths)
+        return self._read_entry(name, entry)
 
     # ---------------------------------------------------------------- write
     def _new_version_dir(self, name: str) -> tuple[str, str]:
@@ -98,6 +127,56 @@ class IcebergLike:
             "paths": [rel],
             "next_version": int(rel.rsplit("v", 1)[1]) + 1,
         }
+
+    def stage_overwrite_parts(
+        self,
+        name: str,
+        df: DataFrame,
+        part_col: str,
+        touched_parts: list[int],
+    ) -> None:
+        """Partition-level overwrite: replace only ``touched_parts``;
+        untouched partitions carry over **by manifest reference** — no
+        read, no rewrite (the Iceberg dynamic-partition-overwrite
+        analogue). An epoch that touches 2 of 10k frontier buckets
+        writes 2 bucket directories, not the 10^10-row table.
+
+        ``df`` may contain rows outside ``touched_parts`` — they are
+        filtered out (their buckets' committed files stay authoritative).
+        A touched partition with zero surviving rows is dropped from the
+        manifest. ``part_col`` stays a data column (``_pid`` duplicates
+        it for the directory layout, so per-partition files read back
+        with the full schema).
+        """
+        from pyspark.sql import functions as F
+
+        touched = sorted({int(p) for p in touched_parts})
+        prev = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        if prev.get("paths"):
+            raise ValueError(
+                f"table {name!r} has a full-snapshot manifest; partition-level "
+                "overwrite requires parts-form history (bootstrap it with "
+                "stage_overwrite_parts)"
+            )
+        parts = dict(prev.get("parts", {}))
+        next_version = prev.get("next_version", 1)
+        if touched:
+            rel, absdir = self._new_version_dir(name)
+            (
+                df.filter(F.col(part_col).isin(touched))
+                .withColumn("_pid", F.col(part_col))
+                .write.mode("overwrite")
+                .partitionBy("_pid")
+                .parquet(absdir)
+            )
+            for p in touched:
+                pdir = os.path.join(absdir, f"_pid={p}")
+                if os.path.isdir(pdir):
+                    parts[str(p)] = os.path.join(rel, f"_pid={p}")
+                else:
+                    parts.pop(str(p), None)  # partition emptied
+            next_version = int(rel.rsplit("v", 1)[1]) + 1
+        self._staged[name] = {"parts": parts, "next_version": next_version}
 
     def stage_append(self, name: str, df: DataFrame) -> None:
         """Append a new data file set to ``name`` (extracted, lineage —
@@ -126,10 +205,7 @@ class IcebergLike:
             "tables": dict(self.manifest["tables"]),
         }
         for name, entry in self._staged.items():
-            new["tables"][name] = {
-                "paths": entry["paths"],
-                "next_version": entry["next_version"],
-            }
+            new["tables"][name] = dict(entry)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new, f, indent=1)
@@ -142,10 +218,11 @@ class IcebergLike:
     def rollback_staged(self) -> None:
         """Drop staged (uncommitted) writes — crash-recovery analogue."""
         for name, entry in self._staged.items():
-            for rel in entry["paths"]:
+            committed = set(
+                self._entry_paths(self.manifest["tables"].get(name, {}))
+            )
+            for rel in self._entry_paths(entry):
                 p = os.path.join(self.root, rel)
-                if os.path.exists(p) and rel not in self.manifest["tables"].get(
-                    name, {}
-                ).get("paths", []):
+                if os.path.exists(p) and rel not in committed:
                     shutil.rmtree(p, ignore_errors=True)
         self._staged = {}

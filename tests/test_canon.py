@@ -46,12 +46,36 @@ def test_udf_matches_spec(spark):
     assert got == [e for _, e in CASES]
 
 
-def test_column_expr_matches_spec_on_no_query_urls(spark):
-    # the Column twin covers the corpus subset: no query strings
-    subset = [(r, e) for r, e in CASES if "?" not in r and r == r.strip()]
+def test_column_expr_matches_spec(spark):
+    # the Column twin now covers the full spec including query-param
+    # stable sorting (leading/trailing whitespace is the UDF's job —
+    # frontier URLs arrive pre-stripped)
+    subset = [(r, e) for r, e in CASES if r == r.strip()]
     df = spark.createDataFrame(subset, "url string, expected string")
     bad = df.filter(canonical_url_col(F.col("url")) != F.col("expected"))
     assert bad.count() == 0
+
+
+QUERY_CASES = [
+    "http://example.org/p?b=2&a=1",
+    "http://example.org/p?b=2&a=1&a=0",  # duplicate keys keep order
+    "http://example.org/p?z=9&y=8&x=7&w=6",
+    "http://example.org/p?a=1",
+    "http://example.org/p?a",  # bare key, no '='
+    "http://example.org/p?",  # empty query
+    "http://example.org/p?&",  # only empty pairs
+    "http://example.org?x=2&a=b",  # empty path + query
+    "http://example.org/p?b=2&a=1#frag",
+]
+
+
+def test_column_expr_matches_python_on_query_urls(spark):
+    df = spark.createDataFrame([(u,) for u in QUERY_CASES], "url string")
+    got = [
+        r.c
+        for r in df.select(canonical_url_col(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [canonicalize_url(u) for u in QUERY_CASES]
 
 
 def test_three_impls_agree_on_corpus(spark, tiny_seeds):

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from hiispider_spark.operators.extract import (
     evaluate_boolean_col,
     links_extract_udf,
+    routed_extract_udf,
+    run_extraction,
     text_extract_col,
     text_extract_udf,
     title_extract_udf,
@@ -64,6 +66,45 @@ def test_utf8_robustness(spark):
     rows = df.select(text_extract_udf("html").alias("t")).collect()
     assert rows[0].t == "café 中文"
     assert "broken � bytes" == rows[1].t  # errors='replace', never throws
+
+
+def test_plugin_routing_per_url(spark, tiny_pages):
+    """O-10: two plugins on one slice produce each plugin's own output
+    per URL, in a single routed pass; unknown plugins fall back to text."""
+    slice_ = tiny_pages.limit(20).select(
+        "url",
+        "html",
+        F.when(F.col("i") % 2 == 0, F.lit("anchor"))
+        .when(F.col("i") % 5 == 1, F.lit("no_such_plugin"))
+        .otherwise(F.lit("text"))
+        .alias("plugin"),
+        F.col("text").alias("expected_text"),
+    )
+    got = slice_.withColumn(
+        "out", routed_extract_udf(F.col("html"), F.col("plugin"))
+    )
+    anchors = got.filter(F.col("plugin") == "anchor")
+    assert anchors.count() > 0
+    assert anchors.filter(~F.col("out").startswith("http://")).count() == 0
+    texts = got.filter(F.col("plugin") != "anchor")
+    assert texts.filter(F.col("out") != F.col("expected_text")).count() == 0
+
+
+def test_run_extraction_uses_row_plugin(spark, tiny_pages):
+    slice_ = tiny_pages.limit(10).select(
+        F.col("i").cast("long").alias("url_hash"),
+        "url",
+        "html",
+        F.when(F.col("i") % 2 == 0, F.lit("anchor")).otherwise(F.lit("text")).alias("plugin"),
+        F.sha1("html").alias("content_sha1"),
+    )
+    out = run_extraction(slice_, epoch=1)
+    assert set(r.plugin for r in out.select("plugin").distinct().collect()) == {
+        "anchor",
+        "text",
+    }
+    # links still extracted for every row regardless of plugin
+    assert out.filter(F.size("items") != 2).count() == 0
 
 
 def test_evaluate_boolean(spark):

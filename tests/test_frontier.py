@@ -93,3 +93,26 @@ def test_merge_new_urls_is_idempotent(spark, tiny_seeds):
     assert merged.count() == fr.count() + 1
     again = merge_new_urls(merged, new, "2024-01-01 00:02:00", 8)
     assert again.count() == merged.count()
+
+
+def test_boot_stagger_spreads_first_fetch(spark, tiny_seeds):
+
+
+    fr = build_frontier(tiny_seeds, n_partitions=8, stagger_s=3600)
+    stats = fr.select(
+        F.min("next_fetch_ts").alias("lo"),
+        F.max("next_fetch_ts").alias("hi"),
+        F.countDistinct("next_fetch_ts").alias("n_distinct"),
+    ).first()
+    import datetime as dt
+
+    t0 = dt.datetime.fromisoformat(EPOCH0)
+    assert stats.lo >= t0
+    assert stats.hi < t0 + dt.timedelta(seconds=3600)
+    # spread, not a herd: many distinct offsets across the seed list
+    assert stats.n_distinct > fr.count() * 0.5
+    # deterministic: same seed -> same schedule
+    again = build_frontier(tiny_seeds, n_partitions=8, stagger_s=3600)
+    assert fr.select("url", "next_fetch_ts").exceptAll(
+        again.select("url", "next_fetch_ts")
+    ).count() == 0

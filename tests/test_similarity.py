@@ -95,3 +95,31 @@ def test_ivf_recall_vs_brute_force(spark):
     assign = {r.vec_id: r.centroid_id for r in sim.assign_centroids(emb, 50).collect()}
     for r in ivf:
         assert assign[r.neighbor_id] == assign[r.query_id]
+
+
+def _planted_corpus(spark, sf_dir=SF_DIR, n_twins=100):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.planted_near_dup_corpus(emb, n_twins), n_twins
+
+
+def test_hyperplane_lsh_finds_planted_near_dups(spark):
+    corpus, n_twins = _planted_corpus(spark)
+    got = sim.hyperplane_near_dup_pairs(corpus, threshold=0.9)
+    pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
+    planted = {(i, i + 100_000) for i in range(n_twins)}
+    # recall on true near-dups (sim≈0.999): banding theory says ≈1.0
+    assert len(pairs & planted) >= 0.95 * n_twins
+    # exact precision: emitted ⊆ exact all-pairs result
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in sim.cosine_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert pairs <= exact
+
+
+def test_hyperplane_lsh_candidates_subquadratic(spark):
+    corpus, _ = _planted_corpus(spark)
+    n = corpus.count()
+    # threshold=-1 emits every candidate pair the banding produced
+    n_cand = sim.hyperplane_near_dup_pairs(corpus, threshold=-1.0).count()
+    assert n_cand < 0.10 * n * (n - 1) / 2
