@@ -141,6 +141,76 @@ def apply_token_buckets(
     return with_state.groupBy("host").applyInPandas(per_host, out_schema)
 
 
+def waterfill(demands: dict[int, int], cap: int) -> dict[int, int]:
+    """Exact waterfilling allocation of ``cap`` grants across buckets.
+
+    Classic algorithm: repeatedly give every unsatisfied bucket an equal
+    share of what remains; buckets that need less than their share keep
+    only their demand and release the rest. Leftover after convergence
+    (cap not divisible) goes one-at-a-time to the lowest part_id —
+    fully deterministic. Runs on the driver over P integers.
+    """
+    alloc = {p: 0 for p in demands}
+    remaining = cap
+    active = {p for p, d in demands.items() if d > 0}
+    while remaining > 0 and active:
+        share = remaining // len(active)
+        if share == 0:
+            for p in sorted(active)[:remaining]:
+                alloc[p] += 1
+            break
+        done = set()
+        for p in active:
+            take = min(share, demands[p] - alloc[p])
+            alloc[p] += take
+            remaining -= take
+            if alloc[p] >= demands[p]:
+                done.add(p)
+        active -= done
+    return alloc
+
+
+def apply_global_cap(
+    bucketed: DataFrame, max_inflight: int, tie_break: str = "url_hash"
+) -> DataFrame:
+    """Global in-flight cap — the reference's ``max_simultaneous_
+    requests`` [hs: hiispider/requestqueuer.py::RequestQueuer †], which
+    caps total concurrent fetches across ALL hosts on top of the
+    per-host limits.
+
+    A naive global top-k would global-sort the slice; instead the cap
+    is waterfilled across buckets on the driver (P counts, one tiny
+    collect) and enforced per bucket with a window — no global shuffle,
+    deterministic at any parallelism. Rows over quota flip granted →
+    False (deferred to the next epoch like politeness overflow).
+    """
+    demands = {
+        r.part_id: r.n
+        for r in bucketed.filter(F.col("granted"))
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if sum(demands.values()) <= max_inflight:
+        return bucketed
+    alloc = waterfill(demands, max_inflight)
+    quota = F.create_map(
+        *[F.lit(x) for kv in alloc.items() for x in kv]
+    )[F.col("part_id")]
+    from pyspark.sql import Window
+
+    # granted rows sort first, so a granted row's row_number is its rank
+    # among the bucket's GRANTED rows — quota applies to exactly those
+    w = Window.partitionBy("part_id").orderBy(
+        F.col("granted").desc(), F.col("priority").desc(), F.col(tie_break).asc()
+    )
+    rn = F.row_number().over(w)
+    return bucketed.withColumn(
+        "granted",
+        F.col("granted") & (rn <= F.coalesce(quota, F.lit(0))),
+    )
+
+
 def next_politeness_state(bucketed: DataFrame, epoch_ts: str) -> DataFrame:
     """Next ``politeness`` snapshot from the echoed per-row state."""
     return (

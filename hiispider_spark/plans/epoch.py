@@ -22,6 +22,7 @@ depends on partition count or executor count.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 
@@ -78,6 +79,10 @@ class EpochConfig:
     # O-15 boot stagger: spread first fetches over [0, boot_stagger_s)
     # seconds (deterministic hash of url_hash) — 0 keeps golden fixtures
     boot_stagger_s: int = 0
+    # O-9 global in-flight cap (reference max_simultaneous_requests):
+    # total grants per epoch across ALL hosts, waterfilled across
+    # buckets — None keeps per-host budgets only (golden fixtures)
+    max_inflight: int | None = None
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -122,22 +127,33 @@ def run_epoch(
     robots: DataFrame,
     cfg: EpochConfig = EpochConfig(),
 ) -> dict:
-    """Process the next epoch; returns summary counters."""
+    """Process the next epoch; returns summary counters (plus
+    ``phase_walls``: seconds per materialization boundary, the knob for
+    finding which stage grows with history — it must be none)."""
     e = cat.epoch + 1
     ts = epoch_timestamp(e, cfg.epoch_seconds)
+    walls: dict[str, float] = {}
+    _t0 = time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        t = time.time()
+        walls[phase] = round(t - _t0, 2)
+        _t0 = t
 
     frontier = cat.read("frontier")
     # each persisted stage is materialized (count) before dependents
     # fan out — otherwise sibling branches of the final union race to
     # compute the same uncached subtree in one job, duplicating work
     sl = dequeue_topk(frontier, ts, cfg.k_per_partition).persist()
-    n_dequeued = sl.count()
-    # buckets this epoch touches (bounded by P ints — the only driver
-    # collect in the pipeline besides counters); everything the epoch
-    # rewrites lives in these buckets + the buckets of inserted links
-    touched = sorted(
-        r.part_id for r in sl.select("part_id").distinct().collect()
-    )
+    # one job materializes the persist AND yields the dequeue count plus
+    # the touched buckets (bounded by P rows — the only driver collect
+    # in the pipeline besides counters); everything the epoch rewrites
+    # lives in these buckets + the buckets of inserted links
+    per_part = sl.groupBy("part_id").count().collect()
+    n_dequeued = int(sum(r["count"] for r in per_part))
+    touched = sorted(r.part_id for r in per_part)
+    _mark("dequeue")
 
     # host-level negative cache: embargoed hosts drop out before any
     # downstream shuffle (O-7 — "avoid known-dead work early")
@@ -148,8 +164,16 @@ def run_epoch(
     allowed, denied = pol.split_robots(eligible, robots)
     bucketed = pol.apply_token_buckets(
         allowed, cat.read("politeness"), ts, cfg.epoch_seconds
-    ).persist()
+    )
+    bucketed_raw = None
+    if cfg.max_inflight is not None:
+        # the cap collects per-bucket grant counts → persist its input
+        bucketed_raw = bucketed.persist()
+        bucketed_raw.count()
+        bucketed = pol.apply_global_cap(bucketed_raw, cfg.max_inflight)
+    bucketed = bucketed.persist()
     bucketed.count()
+    _mark("politeness")
     granted = bucketed.filter(F.col("granted")).select(*FRONTIER_COLS)
     deferred = bucketed.filter(~F.col("granted")).select(*FRONTIER_COLS)
 
@@ -160,6 +184,7 @@ def run_epoch(
     fetched, _ = fetch_join(granted, pages)
     fetched = with_content_sha1(fetched).persist(StorageLevel.DISK_ONLY)
     n_fetched = fetched.count()
+    _mark("fetch")
     # failed re-derived from the PERSISTED frame — the tuple's own
     # anti-join references the pre-persist plan and would run the
     # broadcast join against the page store a second time
@@ -174,6 +199,7 @@ def run_epoch(
 
     extracted_new = run_extraction(modified, e).persist(StorageLevel.DISK_ONLY)
     n_extracted = extracted_new.count()
+    _mark("extract")
 
     # discovered out-links → canonicalize → unseen → new entries
     # (O-20/O-21). Candidates get their salted bucket up front so the
@@ -203,6 +229,7 @@ def run_epoch(
             .persist()
         )
         hashed.count()
+        _mark("links_hash")
         unseen = seen_ops.filter_unseen_partitioned(
             hashed, cat.read("seen_set"), cat.read("seen_exact"),
             cfg.bloom_m_bits,
@@ -211,10 +238,9 @@ def run_epoch(
             frontier, unseen, ts,
             cfg.n_partitions, cfg.n_salts, cfg.interval_s,
         ).persist()
-        inserted.count()
-        ins_parts = sorted(
-            r.part_id for r in inserted.select("part_id").distinct().collect()
-        )
+        ins_per_part = inserted.groupBy("part_id").count().collect()
+        ins_parts = sorted(r.part_id for r in ins_per_part)
+        _mark("seen_insert")
 
     # frontier write-back, partition-level: only buckets this epoch
     # touched (dequeued from, or inserted into) are rewritten; all other
@@ -284,7 +310,7 @@ def run_epoch(
         lambda: cat.stage_append("extracted", extracted_new),
         lambda: cat.stage_append("lineage", lin),
     ]
-    if cfg.follow_links:
+    if cfg.follow_links and ins_parts:  # nothing new discovered → no-op
         jobs.append(lambda: cat.stage_append("seen_exact", inserted.select("url_hash")))
         jobs.append(
             lambda: cat.stage_overwrite_parts(
@@ -298,9 +324,11 @@ def run_epoch(
                 ins_parts,
             )
         )
+    _mark("plan_writes")
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         for f in [pool.submit(j) for j in jobs]:
             f.result()
+    _mark("writes")
     staged_frontier = cat.read_staged("frontier")
 
     stats = {
@@ -309,12 +337,13 @@ def run_epoch(
         "n_dequeued": n_dequeued,
         "n_fetched": n_fetched,
         "n_extracted": n_extracted,
+        "phase_walls": walls,
     }
     if cfg.collect_stats:
         stats["n_granted"] = granted.count()
         stats["frontier_size"] = staged_frontier.count()
     cat.commit(epoch=e)
-    for df in (sl, bucketed, fetched, extracted_new, hashed, inserted):
+    for df in (sl, bucketed, bucketed_raw, fetched, extracted_new, hashed, inserted):
         if df is not None:
             df.unpersist()
     return stats

@@ -40,6 +40,15 @@ def get_spark(
         # batch of page bodies stays well under executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
+        # trade CPU for disk bytes: table writes + shuffle are the only
+        # resources that DON'T scale with threads on this single-virtio-
+        # disk sandbox (phase decomposition: writes 51 s @4 threads →
+        # 80 s @16 while compute halved). zstd roughly halves both
+        # volumes; on a real cluster it still wins — shuffle/scan bytes
+        # are the cluster currency too.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.shuffle.compress", "true")
         # local mode: driver heap is ALL memory. Wide rows (html bytes)
         # need ~task_concurrency × partition_bytes of headroom — 8g with
         # 32 tasks of 200MB+ partitions OOMs; default generously.

@@ -87,3 +87,81 @@ def test_cross_epoch_token_carry(spark, tiny_seeds, tiny_robots):
     state2 = next_politeness_state(e2, "2024-01-01 00:02:00")
     e3 = apply_token_buckets(allowed, state2, "2024-01-01 00:03:00", 60.0)
     assert e3.filter("granted").count() == 1  # bucket refilled past 1.0
+
+
+def test_waterfill_exact_and_deterministic():
+    from hiispider_spark.operators.politeness import waterfill
+
+    # skewed demands: one hot bucket, several small
+    demands = {0: 100, 1: 3, 2: 7, 3: 50, 4: 0}
+    alloc = waterfill(demands, 40)
+    assert sum(alloc.values()) == 40
+    assert all(alloc[p] <= demands[p] for p in demands)
+    assert alloc[1] == 3 and alloc[2] == 7  # small demands fully served
+    assert alloc == waterfill(demands, 40)  # deterministic
+    # cap >= total demand → everyone fully served
+    full = waterfill(demands, 1000)
+    assert full == {p: d for p, d in demands.items()}
+    # tiny cap: leftover goes to lowest part_id first
+    tiny = waterfill({0: 5, 1: 5, 2: 5}, 2)
+    assert tiny == {0: 1, 1: 1, 2: 0}
+
+
+def test_global_inflight_cap(spark, tiny_seeds, tiny_robots):
+    from hiispider_spark.operators.frontier import build_frontier, dequeue_topk
+    from hiispider_spark.operators.politeness import apply_global_cap
+    from hiispider_spark.schemas import POLITENESS
+
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    sl = dequeue_topk(fr, "2024-01-01 00:01:00", 1 << 20)
+    allowed, _ = split_robots(sl, tiny_robots)
+    empty = spark.createDataFrame([], POLITENESS)
+    bucketed = apply_token_buckets(allowed, empty, "2024-01-01 00:01:00", 60.0).persist()
+    n_granted = bucketed.filter("granted").count()
+    assert n_granted > 10
+    cap = n_granted // 2
+    capped = apply_global_cap(bucketed, cap)
+    assert capped.filter("granted").count() == cap
+    # cap keeps the per-host/per-bucket highest-priority rows
+    kept = capped.filter("granted")
+    dropped = capped.filter(~F.col("granted")).join(
+        bucketed.filter("granted").select("url_hash"), "url_hash", "left_semi"
+    )
+    per_part = {
+        (r.part_id): r.mn
+        for r in kept.groupBy("part_id").agg(F.min("priority").alias("mn")).collect()
+    }
+    for r in dropped.select("part_id", "priority").collect():
+        assert r.priority <= per_part.get(r.part_id, float("inf")) + 1e-9
+    # idempotent when cap >= demand
+    assert apply_global_cap(bucketed, n_granted * 2).filter("granted").count() == n_granted
+    bucketed.unpersist()
+
+
+def test_epoch_respects_max_inflight(spark, tiny_pages, tiny_seeds, tiny_robots):
+    import shutil
+    import tempfile
+    from dataclasses import replace
+
+    from hiispider_spark.plans.epoch import EpochConfig, bootstrap, run_epoch
+    from hiispider_spark.sources.catalog import IcebergLike
+
+    cfg = EpochConfig(
+        k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17,
+        epoch_seconds=60.0, max_inflight=10,
+    )
+    root = tempfile.mkdtemp(prefix="cap_")
+    cat = IcebergLike(spark, root)
+    bootstrap(spark, cat, tiny_seeds, cfg)
+    st = run_epoch(spark, cat, tiny_pages, tiny_robots, cfg)
+    assert st["n_granted"] <= 10
+    assert st["n_fetched"] <= 10
+    # uncapped twin grants more — the cap actually bound something
+    root2 = tempfile.mkdtemp(prefix="cap0_")
+    cat2 = IcebergLike(spark, root2)
+    uncapped = replace(cfg, max_inflight=None)
+    bootstrap(spark, cat2, tiny_seeds, uncapped)
+    st2 = run_epoch(spark, cat2, tiny_pages, tiny_robots, uncapped)
+    assert st2["n_granted"] > 10
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root2, ignore_errors=True)
