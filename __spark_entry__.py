@@ -357,6 +357,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = q_dedup_minhash_lsh
 
+    def q_dedup_minhash_portable(spark, sf):
+        # portable polynomial hash family → DuckDB mirrors the FULL
+        # MinHash+LSH pipeline value-for-value (the xxhash64 variant
+        # above stays the fast JVM path, graded rows-only)
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return dd.minhash_lsh_pairs_portable(docs, "doc_id", "text")
+
+    q["dedup_minhash_portable"] = q_dedup_minhash_portable
+
     def q_dedup_simhash(spark, sf):  # no SQL oracle (xxhash64 bits)
         docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
         return dd.simhash_near_dups(docs, "doc_id", "text", max_hamming=8)
@@ -367,6 +376,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ts.document_profile(_docs(spark, sf), "doc_id", "text")
 
     q["text_profile"] = q_text_profile
+
+    def q_bpe_token_count(spark, sf):  # no SQL oracle (trained merges)
+        # deterministic corpus-trained BPE: one pass for word-type
+        # freqs, driver-side merge training, broadcast type→count join
+        from hiispider_spark.operators import bpe
+
+        docs = _docs(spark, sf)
+        merges, word_freqs = bpe.train_bpe(docs, "text", n_merges=100)
+        return bpe.bpe_token_count(
+            docs, "doc_id", "text", merges, list(word_freqs)
+        )
+
+    q["bpe_token_count"] = q_bpe_token_count
 
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
@@ -694,6 +716,57 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - i.n_inter) >= 0.08"""
 
+    # portable MinHash+LSH twin: coefficients/banding generated from
+    # the SAME module constants the Spark exprs use
+    _P = dd.MINHASH_P
+    _coeffs = dd.minhash_coeffs(16)
+    _mh_exprs = ",\n    ".join(
+        f"list_min([({a} * x + {b}) % {_P} FOR x IN fps]) AS mh_{i}"
+        for i, (a, b) in enumerate(_coeffs)
+    )
+    _band_exprs = []
+    for _b in range(4):
+        _acc = "CAST(7 AS BIGINT)"
+        for _r in range(4):
+            _acc = f"(({_acc}) * 31 + mh_{_b * 4 + _r}) % {_P}"
+        _band_exprs.append(f"{_acc} AS band_{_b}")
+    _bands_sql = ",\n    ".join(_band_exprs)
+    _stack_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS bh FROM bands"
+        for b in range(4)
+    )
+    o["dedup_minhash_portable"] = f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(text, ' #\\d+$', '') AS t
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([substr(t, i+1, 5)
+                   FOR i IN range(greatest(length(t) - 5, 0) + 1)]) AS shs
+  FROM base
+),
+fp AS (
+  SELECT doc_id,
+    [list_reduce(
+       list_prepend(CAST(7 AS BIGINT),
+         [CAST(ascii(substr(s, j+1, 1)) AS BIGINT) FOR j IN range(length(s))]),
+       (acc, c) -> (acc * 31 + c) % {_P}) FOR s IN shs] AS fps
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {_mh_exprs}
+  FROM fp
+),
+bands AS (
+  SELECT doc_id, {_bands_sql} FROM sig
+),
+stacked AS ({_stack_sql})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
+FROM stacked a JOIN stacked b
+  ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
     stop = {
         lang: ", ".join(f"'{w}'" for w in ws)
         for lang, ws in ts.LANG_STOPWORDS.items()
@@ -708,6 +781,8 @@ WITH base AS (
 m AS (
   SELECT doc_id, text, toks, ltoks,
     len(toks) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)
+      AS n_pretokens,
     length(text) AS n_chars,
     round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
           / greatest(length(text), 1), 6) AS punct_ratio,
@@ -721,7 +796,7 @@ m AS (
     len([w FOR w IN ltoks IF list_contains([{stop['de']}], w)]) AS s_de
   FROM base
 )
-SELECT doc_id, n_tokens, n_chars, punct_ratio, mean_word_len, stopword_ratio_en,
+SELECT doc_id, n_tokens, n_pretokens, n_chars, punct_ratio, mean_word_len, stopword_ratio_en,
   round((least(n_tokens / 20.0, 1.0)
          + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)
          + (1.0 - least(punct_ratio * 5, 1.0))) / 3.0, 6) AS quality,

@@ -47,6 +47,40 @@ SCALING_CPUS = [
 ]
 
 
+def _cpu_busy_frac(interval: float = 0.6) -> float:
+    """Instantaneous whole-box CPU busy fraction from /proc/stat.
+
+    The scaling harness samples this while ITS OWN Spark sessions are
+    stopped, so any busy CPU is external load on this shared host —
+    the thing that turned identical code into 2× wall-clock spreads.
+    """
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return sum(vals), idle
+
+    t0, i0 = snap()
+    time.sleep(interval)
+    t1, i1 = snap()
+    dt = max(t1 - t0, 1)
+    return 1.0 - (i1 - i0) / dt
+
+
+def _wait_quiet(
+    threshold: float = 0.15, max_wait_s: float = 180.0
+) -> float:
+    """Block until external CPU load drops below ``threshold`` (or the
+    wait budget runs out). Returns the last sample."""
+    t0 = time.time()
+    busy = _cpu_busy_frac()
+    while busy > threshold and time.time() - t0 < max_wait_s:
+        time.sleep(5.0)
+        busy = _cpu_busy_frac()
+    return busy
+
+
 def _corpus(spark, sf_dir: str, mult: int, pages_dir: str):
     """Synthesize the corpus once and land pages as a parquet table —
     the production shape (a page store is scanned, never cached)."""
@@ -122,6 +156,10 @@ def run_crawl(
             bloom_m_bits=1 << 24,
             collect_stats=False,
             epoch_seconds=epoch_seconds,
+            # merge-on-read frontier commits: the 100 TB write shape
+            # (O(changed rows) per epoch), and the honest bench config —
+            # writes are the phase that does NOT scale with threads here
+            frontier_deltas=True,
         )
         _warm_python_workers(spark, cpus)
         if warmup is None:
@@ -188,7 +226,9 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         "crawl_epoch_flagship",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_minhash_portable",
         "text_profile",
+        "bpe_token_count",
         "ann_cosine_topk",
         "host_stats",
         "seen_antijoin",
@@ -215,9 +255,18 @@ def main() -> None:
         lo_c, hi_c = SCALING_CPUS
         # one shared corpus for every leg (synthesized by the first call)
         corpus_dir = tempfile.mkdtemp(prefix="bench_scaling_corpus_")
-        pairs = []
+        pairs: list[dict] = []
+        tainted: list[dict] = []
+        attempts = 0
         try:
-            for i in range(SCALING_RUNS):
+            # quiet-gated pairs: this host is SHARED — external load has
+            # produced hi legs SLOWER than lo legs (a physical
+            # impossibility for real scaling). A pair only counts when
+            # the box was externally idle right before AND right after
+            # it; loaded pairs are recorded as tainted and retried.
+            while len(pairs) < SCALING_RUNS and attempts < SCALING_RUNS * 3:
+                attempts += 1
+                pre = _wait_quiet()
                 lo = run_crawl(
                     lo_c, SF_DIR, n_epochs=1, mult=SCALING_MULT,
                     epoch_seconds=3600.0, n_runs=1,
@@ -228,23 +277,33 @@ def main() -> None:
                     epoch_seconds=3600.0, n_runs=1,
                     pages_dir=corpus_dir, warmup=True,
                 )
+                post = _cpu_busy_frac()
                 t_lo = lo["median_urls_per_sec"]
                 t_hi = hi["median_urls_per_sec"]
-                pairs.append(
-                    {
-                        "t_lo": t_lo,
-                        "t_hi": t_hi,
-                        "eff": round((t_hi / t_lo) / (hi_c / lo_c), 3),
-                    }
-                )
+                rec = {
+                    "t_lo": t_lo,
+                    "t_hi": t_hi,
+                    "eff": round((t_hi / t_lo) / (hi_c / lo_c), 3),
+                    "ext_busy_pre": round(pre, 3),
+                    "ext_busy_post": round(post, 3),
+                }
+                if pre > 0.15 or post > 0.15:
+                    rec["tainted"] = True
+                    tainted.append(rec)
+                else:
+                    pairs.append(rec)
         finally:
             shutil.rmtree(corpus_dir, ignore_errors=True)
+        clean = bool(pairs)
+        if not pairs:  # never report nothing — flag it instead
+            pairs = tainted
         eff = statistics.median(p["eff"] for p in pairs)
         t_lo_med = statistics.median(p["t_lo"] for p in pairs)
         t_hi_med = statistics.median(p["t_hi"] for p in pairs)
         result["scaling"] = {
             "pair": [lo_c, hi_c],
             "pairs": pairs,
+            "tainted_pairs": tainted,
             "t_lo_median": t_lo_med,
             "t_hi_median": t_hi_med,
             "efficiency": round(eff, 3),
@@ -255,9 +314,11 @@ def main() -> None:
                 f"\n| {time.strftime('%Y-%m-%d %H:%M')} | sf0.1×{SCALING_MULT} | "
                 f"T_{lo_c}={t_lo_med} urls/s | "
                 f"T_{hi_c}={t_hi_med} urls/s | "
-                f"eff={eff:.3f} (median of {SCALING_RUNS} interleaved "
-                f"lo/hi pairs; per-pair effs "
-                f"{[p['eff'] for p in pairs]}) |"
+                f"eff={eff:.3f} (median of {len(pairs)} quiet-gated "
+                f"interleaved pairs; per-pair effs "
+                f"{[p['eff'] for p in pairs]}; "
+                f"{len(tainted)} pair(s) discarded for external load"
+                f"{'' if clean else '; ALL pairs tainted — untrusted'}) |"
             )
     qtimes = run_queries(SF_DIR, CPUS)
     crawl = run_crawl(CPUS, SF_DIR, n_epochs=N_EPOCHS)

@@ -202,6 +202,122 @@ def minhash_lsh_pairs(
     )
 
 
+# ---- portable-hash MinHash (engine-portable → real value oracle) ----
+# xxhash64 signatures (above) are the fast JVM path but DuckDB cannot
+# mirror them, so that query is graded rows-only. This variant swaps
+# the hash family for polynomial arithmetic both engines compute
+# identically — (a_i·fp(shingle) + b_i) mod p over a char-rolling
+# fp — turning MinHash+LSH into a full value-checked oracle query.
+# Same banding topology, same shuffle shape; ~2-4× the per-row compute
+# of xxhash64 (still pure Column exprs, WholeStageCodegen).
+
+MINHASH_P = 1_000_000_007
+_SM = (1 << 64) - 1
+
+
+def _mh_splitmix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _SM
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _SM
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _SM
+    return x ^ (x >> 31)
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i ∈ [1, p-1], b_i ∈ [0, p-1] —
+    shared verbatim by the Spark exprs and the DuckDB oracle SQL."""
+    return [
+        (
+            (_mh_splitmix(2 * i) % (MINHASH_P - 1)) + 1,
+            _mh_splitmix(2 * i + 1) % MINHASH_P,
+        )
+        for i in range(n_hashes)
+    ]
+
+
+def char_fp_col(s: Column) -> Column:
+    """Engine-portable polynomial hash of a string's characters:
+    acc = (acc·31 + codepoint) mod p, acc₀ = 7. Every intermediate
+    stays within int64. Empty string → 7 (the seed), matching the SQL
+    twin's empty list_reduce prepend."""
+    codes = F.when(
+        F.length(s) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % MINHASH_P,
+    )
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash + banded LSH with the portable hash family — identical
+    output computable by the DuckDB oracle. Same (doc_a, doc_b,
+    n_bands_hit) contract as :func:`minhash_lsh_pairs`."""
+    rows_per_band = n_hashes // bands
+    coeffs = minhash_coeffs(n_hashes)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(normalized_text(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    fps = base.select(
+        "doc_id", F.transform("sh", char_fp_col).alias("fps")
+    )
+    def _perm(a: int, b: int):
+        return lambda x: (a * x + b) % MINHASH_P
+
+    sig = fps.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("fps", _perm(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+    band_cols = []
+    for b in range(bands):
+        acc = F.lit(7).cast("long")
+        for r in range(rows_per_band):
+            acc = (acc * 31 + F.col(f"mh_{b * rows_per_band + r}")) % MINHASH_P
+        band_cols.append(acc.alias(f"band_{b}"))
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bh")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band_idx"), F.col("e.bh"))
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
 def simhash_col(tokens: Column) -> Column:
     """64-bit SimHash: per-bit sign-sum of token xxhash64 values.
 

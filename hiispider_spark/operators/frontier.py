@@ -173,6 +173,7 @@ def new_frontier_entries(
     interval_s: int = DEFAULT_INTERVAL_S,
     discovered_priority: float = 0.1,
     discovered_plugin: str = "text",
+    assume_new: bool = False,
 ) -> DataFrame:
     """Frontier-shaped rows for discovered URLs not yet in the frontier
     (the insert side of O-21). Exposed separately from the union so the
@@ -180,6 +181,12 @@ def new_frontier_entries(
 
     Anti-join on url_hash — at 10^10 scale the bloom prefilter
     (operators.seen) cuts this probe by ~99% before the exact join.
+    ``assume_new=True`` skips that anti-join entirely: the epoch's
+    candidates already passed ``seen.filter_unseen_partitioned``, and
+    seen_exact membership is a superset of frontier membership by
+    construction (both inserted in the same atomic commit, frontier rows
+    never deleted) — re-probing the full frontier would shuffle
+    O(frontier) per epoch for zero information.
     """
     url = F.col("url")
     # reuse whatever identity columns the caller already computed
@@ -192,7 +199,11 @@ def new_frontier_entries(
     hashed = new_urls.select(*keep).dropDuplicates(["url"])
     if "url_hash" not in keep:
         hashed = hashed.withColumn("url_hash", url_hash_udf(url))
-    candidates = hashed.join(frontier.select("url_hash"), "url_hash", "left_anti")
+    candidates = hashed
+    if not assume_new:
+        candidates = candidates.join(
+            frontier.select("url_hash"), "url_hash", "left_anti"
+        )
     if "host" not in keep:
         candidates = candidates.withColumn("host", host_col(url))
     if "salt" not in keep:

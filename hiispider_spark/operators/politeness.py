@@ -56,10 +56,13 @@ def robots_deny_col(rules_col, path_col_):
 def split_robots(slice_df: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(allowed_with_crawl_delay, robots_denied).
 
-    robots is one row per host — small relative to the slice → broadcast.
+    robots is one row per host. No broadcast hint: at web scale that
+    table is O(all hosts) — the join shuffles by host, which the
+    token-bucket groupBy(host) downstream re-uses, and AQE broadcasts
+    automatically whenever robots is actually small (the sandbox case).
     Hosts without robots rows are allowed with the default crawl delay.
     """
-    joined = slice_df.join(F.broadcast(robots), "host", "left")
+    joined = slice_df.join(robots, "host", "left")
     deny = F.when(
         F.col("rules").isNotNull(),
         robots_deny_col(F.col("rules"), path_col(F.col("url"))),
@@ -97,7 +100,12 @@ def apply_token_buckets(
         F.col("tokens").alias("_tokens_prev"),
         F.col("last_refill").alias("_last_refill"),
     )
-    with_state = allowed.join(F.broadcast(state), "host", "left")
+    # no broadcast hint: the state table is O(all hosts ever crawled) —
+    # table-sized at 10^7 hosts, so forcing it to every executor is the
+    # wrong 100 TB shape. A plain join hash-partitions both sides by
+    # host, which the groupBy(host) below needs anyway (exchange
+    # reuse); AQE still turns it into a broadcast when state is tiny.
+    with_state = allowed.join(state, "host", "left")
 
     frontier_cols = [c for c in allowed.columns if c != "crawl_delay"]
     out_fields = [with_state.schema[c] for c in frontier_cols] + [
@@ -211,8 +219,18 @@ def apply_global_cap(
     )
 
 
-def next_politeness_state(bucketed: DataFrame, epoch_ts: str) -> DataFrame:
-    """Next ``politeness`` snapshot from the echoed per-row state."""
+def pol_part_col(host, n_partitions: int):
+    """Host-hash bucket for partition-level politeness commits (no
+    salt: state is strictly per-host, one row per host)."""
+    return F.pmod(F.xxhash64(host), F.lit(n_partitions)).cast("int")
+
+
+def next_politeness_state(
+    bucketed: DataFrame, epoch_ts: str, n_partitions: int = 32
+) -> DataFrame:
+    """Next ``politeness`` snapshot from the echoed per-row state —
+    only the hosts this epoch touched (the caller carries the rest of
+    their buckets over and commits partition-level)."""
     return (
         bucketed.groupBy("host")
         .agg(
@@ -220,5 +238,6 @@ def next_politeness_state(bucketed: DataFrame, epoch_ts: str) -> DataFrame:
             F.first("tokens_left").alias("tokens"),
         )
         .withColumn("last_refill", F.lit(epoch_ts).cast("timestamp"))
-        .select("host", "crawl_delay", "tokens", "last_refill")
+        .withColumn("part_id", pol_part_col(F.col("host"), n_partitions))
+        .select("host", "crawl_delay", "tokens", "last_refill", "part_id")
     )

@@ -251,32 +251,126 @@ def planted_near_dup_corpus(
     return emb.unionByName(twins)
 
 
-def assign_centroids(embeddings: DataFrame, every: int = 50) -> DataFrame:
-    """Deterministic IVF coarse assignment: centroids = vectors with
-    vec_id % every == 0; each vector joins its nearest centroid.
+def nearest_centroid_col(
+    v: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid id as a pure Column expression.
 
-    (vec_id, centroid_id). One broadcast join + argmax — write-time
-    cost, amortized over all queries.
+    Centroids are tiny (k × dim floats) so they live as literals inside
+    the expression: assignment is argmax over an in-row struct array —
+    whole-stage codegen, NO join, NO shuffle, per-row cost k·dim. This
+    is the right 100 TB shape: the corpus scans once; nothing wide moves.
+    Ties break toward the smallest centroid_id (struct comparison on
+    (sim, -id), rounded to 6dp for cross-run stability).
     """
-    cents = embeddings.filter(F.col("vec_id") % every == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        _as_double(F.col("embedding")).alias("cent"),
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_col(v, F.array(*[F.lit(x) for x in cv])), 6
+                ).alias("sim"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, cv in cents
+        ]
     )
+    return (-F.array_max(pairs)["nid"]).cast("int")
+
+
+def stride_centroids(
+    embeddings: DataFrame, every: int = 50
+) -> list[tuple[int, list[float]]]:
+    """Toy deterministic quantizer: every ``every``-th vector is a
+    centroid. Kept as the oracle-stable baseline quantizer."""
+    return [
+        (int(r[0]), list(r[1]))
+        for r in embeddings.filter(F.col("vec_id") % every == 0)
+        .select("vec_id", _as_double(F.col("embedding")))
+        .collect()
+    ]
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 20,
+    n_iter: int = 5,
+    sample_mod: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means coarse quantizer (IVF training).
+
+    - init: per hash-bucket representative (min vec_id of
+      ``pmod(xxhash64(vec_id), k)``) — deterministic, one aggregation,
+      no global count;
+    - iterate: assign via :func:`nearest_centroid_col` (shuffle-free),
+      update = per-(centroid, dimension) mean via posexplode + hash agg
+      (map-side combinable); components rounded to 6dp so float
+      summation order can't leak nondeterminism into assignments;
+    - ``sample_mod > 1`` trains on a deterministic hash sample — at
+      10^9 vectors training touches ~n/sample_mod rows while the final
+      full-corpus assignment stays one scan.
+
+    Empty clusters drop out (k shrinks), matching standard Lloyd.
+    """
     vecs = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    scored = vecs.join(F.broadcast(cents)).select(
+    if sample_mod > 1:
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+        )
+    init = (
+        vecs.withColumn(
+            "centroid_id",
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_centroids)).cast("int"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.min_by("v", F.col("vec_id")).alias("cent"))
+    )
+    cents = [(int(r[0]), list(r[1])) for r in init.collect()]
+    for _ in range(n_iter):
+        assigned = vecs.withColumn(
+            "centroid_id", nearest_centroid_col(F.col("v"), cents)
+        )
+        mean = (
+            assigned.select(
+                "centroid_id", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cent"),
+            )
+        )
+        cents = [(int(r[0]), list(r[1])) for r in mean.collect()]
+    return cents
+
+
+def assign_centroids(
+    embeddings: DataFrame,
+    every: int = 50,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Deterministic IVF coarse assignment → (vec_id, centroid_id).
+
+    ``centroids`` defaults to the stride quantizer (oracle-stable
+    baseline); pass :func:`kmeans_centroids` output for trained buckets.
+    Assignment is a single corpus scan with a literal-centroid argmax
+    expression — no join, no shuffle (see nearest_centroid_col).
+    """
+    if centroids is None:
+        centroids = stride_centroids(embeddings, every)
+    return embeddings.select(
         "vec_id",
-        "centroid_id",
-        F.round(cosine_col(F.col("v"), F.col("cent")), 6).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        nearest_centroid_col(
+            _as_double(F.col("embedding")), centroids
+        ).alias("centroid_id"),
     )
 
 
@@ -286,13 +380,16 @@ def ivf_topk(
     k: int = 5,
     every: int = 50,
     n_probe: int = 1,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: search only the query's centroid bucket(s).
 
     n_probe=1 scans ~1/n_centroids of the corpus per query. Returns the
-    same schema as brute_force_topk (approximate results).
+    same schema as brute_force_topk (approximate results). Pass
+    ``centroids=kmeans_centroids(...)`` for trained buckets (higher
+    recall at the same probe cost than the stride baseline).
     """
-    assign = assign_centroids(embeddings, every)
+    assign = assign_centroids(embeddings, every, centroids=centroids)
     emb = embeddings.join(assign, "vec_id")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),

@@ -30,6 +30,17 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pre-tokenizer chunks (simplified to an engine-portable
+# regex: letter runs / digit runs / punctuation runs). This is the
+# sequence BPE merges start from, so its count upper-bounds nothing but
+# correlates with real tokenizer counts far better than whitespace does.
+PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def pretoken_count_col(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PRETOKEN_RE)).cast("long")
+
+
 def char_count_col(text: Column) -> Column:
     return F.length(text)
 
@@ -113,6 +124,7 @@ def document_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
         F.col(id_col).alias("doc_id"),
         token_count_col(t).alias("n_tokens"),
+        pretoken_count_col(t).alias("n_pretokens"),
         char_count_col(t).alias("n_chars"),
         punct_ratio_col(t).alias("punct_ratio"),
         mean_word_len_col(t).alias("mean_word_len"),

@@ -83,6 +83,17 @@ class EpochConfig:
     # total grants per epoch across ALL hosts, waterfilled across
     # buckets — None keeps per-host budgets only (golden fixtures)
     max_inflight: int | None = None
+    # Merge-on-read frontier commits: each epoch appends a delta file of
+    # only the CHANGED rows (requeued + backoff + inserted; deferred/
+    # denied/embargoed rows are byte-unchanged so the base stays
+    # authoritative) instead of rewriting every touched bucket. At a
+    # 10^10-row frontier where every bucket dequeues every epoch,
+    # partition-level overwrite still writes O(frontier); deltas write
+    # O(epoch work). Reads resolve newest-wins via a broadcast anti-join
+    # (catalog.MERGE_KEYS); compaction every `frontier_compact_every`
+    # epochs bounds read fan-in and the broadcast key-set size.
+    frontier_deltas: bool = False
+    frontier_compact_every: int = 8
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -237,33 +248,57 @@ def run_epoch(
         inserted = new_frontier_entries(
             frontier, unseen, ts,
             cfg.n_partitions, cfg.n_salts, cfg.interval_s,
+            # candidates already passed the seen-set exact check, and
+            # seen_exact ⊇ frontier membership (same atomic commits, no
+            # deletes) — the in-function frontier anti-join would shuffle
+            # O(frontier) per epoch to learn nothing
+            assume_new=True,
         ).persist()
         ins_per_part = inserted.groupBy("part_id").count().collect()
         ins_parts = sorted(r.part_id for r in ins_per_part)
         _mark("seen_insert")
 
-    # frontier write-back, partition-level: only buckets this epoch
-    # touched (dequeued from, or inserted into) are rewritten; all other
-    # buckets carry over by manifest reference. ``resident`` = rows of
-    # touched buckets that were NOT dequeued — read via manifest-pruned
-    # bucket paths, never a full-table scan.
-    touched_all = sorted(set(touched) | set(ins_parts))
-    resident = cat.read_parts("frontier", touched_all).join(
-        sl.select("url_hash"), "url_hash", "left_anti"
-    )
     requeued = requeue_fetched(fetched.select(*FRONTIER_COLS), ts)
     backoff = requeue_failed(failed.select(*FRONTIER_COLS), ts)
-    new_frontier = (
-        resident.select(*FRONTIER_COLS)
-        .unionByName(requeued.select(*FRONTIER_COLS))
-        .unionByName(backoff.select(*FRONTIER_COLS))
-        .unionByName(denied.select(*FRONTIER_COLS))
-        .unionByName(deferred)
-        .unionByName(embargoed.select(*FRONTIER_COLS))  # retry post-TTL
-    )
-    if inserted is not None:
-        new_frontier = new_frontier.unionByName(inserted.select(*FRONTIER_COLS))
-    new_frontier = new_frontier.repartition(cfg.n_partitions, "part_id")
+    touched_all = sorted(set(touched) | set(ins_parts))
+    if cfg.frontier_deltas:
+        # merge-on-read commit: ONLY the rows this epoch changed —
+        # requeued/backoff (schedule advanced), denied (state flips to
+        # robots_denied, leaving the pending pool), inserted (new).
+        # deferred/embargoed rows went back byte-unmodified — their
+        # base-file copies stay authoritative, so they don't appear here.
+        frontier_delta = (
+            requeued.select(*FRONTIER_COLS)
+            .unionByName(backoff.select(*FRONTIER_COLS))
+            .unionByName(denied.select(*FRONTIER_COLS))
+        )
+        if inserted is not None:
+            frontier_delta = frontier_delta.unionByName(
+                inserted.select(*FRONTIER_COLS)
+            )
+        new_frontier = None
+    else:
+        # partition-level overwrite: only buckets this epoch touched
+        # (dequeued from, or inserted into) are rewritten; all other
+        # buckets carry over by manifest reference. ``resident`` = rows
+        # of touched buckets that were NOT dequeued — read via
+        # manifest-pruned bucket paths, never a full-table scan.
+        resident = cat.read_parts("frontier", touched_all).join(
+            sl.select("url_hash"), "url_hash", "left_anti"
+        )
+        new_frontier = (
+            resident.select(*FRONTIER_COLS)
+            .unionByName(requeued.select(*FRONTIER_COLS))
+            .unionByName(backoff.select(*FRONTIER_COLS))
+            .unionByName(denied.select(*FRONTIER_COLS))
+            .unionByName(deferred)
+            .unionByName(embargoed.select(*FRONTIER_COLS))  # retry post-TTL
+        )
+        if inserted is not None:
+            new_frontier = new_frontier.unionByName(
+                inserted.select(*FRONTIER_COLS)
+            )
+        new_frontier = new_frontier.repartition(cfg.n_partitions, "part_id")
 
     # page-cache state: fetched rows replace their digests, the rest of
     # the touched buckets carry; untouched buckets never open
@@ -273,9 +308,15 @@ def run_epoch(
         )
     )
 
-    # politeness state: updated hosts replace, absent hosts carry over
-    new_state = pol.next_politeness_state(bucketed, ts)
-    carried = cat.read("politeness").join(
+    # politeness state, partition-level: updated hosts replace; only
+    # their host-hash buckets rewrite (read via manifest-pruned paths),
+    # every other bucket carries by reference — never an O(all-hosts)
+    # rewrite. pol_parts is a tiny collect over this epoch's hosts.
+    new_state = pol.next_politeness_state(bucketed, ts, cfg.n_partitions)
+    pol_parts = sorted(
+        r.part_id for r in new_state.select("part_id").distinct().collect()
+    )
+    carried = cat.read_parts("politeness", pol_parts).join(
         new_state.select("host"), "host", "left_anti"
     )
     politeness_next = new_state.unionByName(carried)
@@ -298,17 +339,27 @@ def run_epoch(
     neg_next = next_neg_cache(
         neg_cache, failed, ts, cfg.neg_cache_fail_threshold, cfg.neg_cache_ttl_s
     )
-    jobs = [
-        lambda: cat.stage_overwrite_parts(
+    if cfg.frontier_deltas:
+        frontier_job = lambda: cat.stage_append_delta(  # noqa: E731
+            "frontier", frontier_delta
+        )
+    else:
+        frontier_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
             "frontier", new_frontier, "part_id", touched_all
+        )
+    jobs = [
+        frontier_job,
+        lambda: cat.stage_overwrite_parts(
+            "politeness", politeness_next, "part_id", pol_parts
         ),
-        lambda: cat.stage_overwrite("politeness", politeness_next),
-        lambda: cat.stage_overwrite("neg_cache", neg_next),
+        lambda: cat.stage_overwrite("neg_cache", neg_next.coalesce(1)),
         lambda: cat.stage_overwrite_parts(
             "page_cache", cache_next, "part_id", touched
         ),
         lambda: cat.stage_append("extracted", extracted_new),
-        lambda: cat.stage_append("lineage", lin),
+        # lineage/neg_cache are ≤ P rows by construction — one file,
+        # one task, instead of shuffle-partition-many empty files
+        lambda: cat.stage_append("lineage", lin.coalesce(1)),
     ]
     if cfg.follow_links and ins_parts:  # nothing new discovered → no-op
         jobs.append(lambda: cat.stage_append("seen_exact", inserted.select("url_hash")))
@@ -328,6 +379,13 @@ def run_epoch(
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         for f in [pool.submit(j) for j in jobs]:
             f.result()
+    if (
+        cfg.frontier_deltas
+        and cat.delta_count("frontier") >= cfg.frontier_compact_every
+    ):
+        # fold deltas into base bucket files inside this transaction —
+        # bounds read fan-in and the broadcast key-set at N epoch deltas
+        cat.compact("frontier")
     _mark("writes")
     staged_frontier = cat.read_staged("frontier")
 

@@ -101,12 +101,16 @@ PAGE_CACHE = T.StructType(
 )
 
 # D7 — politeness token-bucket state, persisted across epochs.
+# part_id = pmod(xxhash64(host), P): host-hash buckets (no salt — state
+# is per-host) so epochs commit only the buckets whose hosts they
+# touched, like the frontier/page_cache (never an O(all-hosts) rewrite).
 POLITENESS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("crawl_delay", T.DoubleType(), False),
         T.StructField("tokens", T.DoubleType(), False),
         T.StructField("last_refill", T.TimestampType(), False),
+        T.StructField("part_id", T.IntegerType(), False),
     ]
 )
 

@@ -32,6 +32,14 @@ from hiispider_spark import schemas
 
 _MANIFEST = "manifest.json"
 
+# Tables that support merge-on-read delta commits: key column whose
+# latest version wins at read time. An epoch appends O(changed-rows)
+# delta files instead of rewriting O(table) partition snapshots; reads
+# resolve base-vs-delta with a BROADCAST anti-join on the (small) delta
+# key set, so the base scan keeps its filter pushdown and no O(table)
+# shuffle is added. Compaction folds deltas back into partition files.
+MERGE_KEYS = {"frontier": "url_hash"}
+
 
 class IcebergLike:
     def __init__(self, spark: SparkSession, root: str):
@@ -60,14 +68,14 @@ class IcebergLike:
     # ----------------------------------------------------------------- read
     @staticmethod
     def _entry_paths(entry: dict[str, Any]) -> list[str]:
-        """Relative data paths of a manifest entry — full-snapshot form
-        ("paths": [...]) or partition-level form ("parts": {pid: path})."""
+        """ALL relative data paths of a manifest entry (incl. delta
+        files) — full-snapshot form ("paths": [...]) or partition-level
+        form ("parts": {pid: path}, optional "deltas": [...])."""
         if "parts" in entry:
-            return list(entry["parts"].values())
+            return list(entry["parts"].values()) + list(entry.get("deltas", []))
         return list(entry.get("paths", []))
 
-    def _read_entry(self, name: str, entry: dict[str, Any] | None) -> DataFrame:
-        rels = self._entry_paths(entry) if entry else []
+    def _read_rels(self, name: str, rels: list[str]) -> DataFrame:
         if not rels:
             schema = schemas.ALL_TABLES.get(name)
             if schema is None:
@@ -76,6 +84,52 @@ class IcebergLike:
         return self.spark.read.parquet(
             *[os.path.join(self.root, p) for p in rels]
         )
+
+    def _delta_latest(self, name: str, entry: dict[str, Any]) -> DataFrame:
+        """Latest version of every key present in any delta file of
+        ``entry`` — last-written delta wins. O(delta rows): deltas are
+        per-epoch change sets, never the table."""
+        from pyspark.sql import functions as F
+
+        key = MERGE_KEYS[name]
+        dl: DataFrame | None = None
+        # explicit schema: an all-deferred epoch writes a 0-row delta
+        # (no part files), which plain parquet reads can't infer
+        schema = schemas.ALL_TABLES[name]
+        for seq, rel in enumerate(entry.get("deltas", [])):
+            df = self.spark.read.schema(schema).parquet(
+                os.path.join(self.root, rel)
+            )
+            df = df.withColumn("_seq", F.lit(seq))
+            dl = df if dl is None else dl.unionByName(df)
+        assert dl is not None
+        cols = [c for c in dl.columns if c != "_seq"]
+        val = [c for c in cols if c != key]
+        return (
+            dl.groupBy(key)
+            .agg(F.max_by(F.struct(*val), F.col("_seq")).alias("_s"))
+            .select(key, "_s.*")
+            .select(*cols)
+        )
+
+    def _resolve(self, name: str, base: DataFrame, latest: DataFrame) -> DataFrame:
+        """Merge-on-read: a base row survives unless its key appears in
+        a delta. The delta key set is small (epoch change sets), so the
+        invalidation is a BROADCAST anti-join — predicates still push
+        into the base parquet scan, and no O(table) shuffle happens."""
+        from pyspark.sql import functions as F
+
+        key = MERGE_KEYS[name]
+        return base.join(
+            F.broadcast(latest.select(key)), key, "left_anti"
+        ).unionByName(latest.select(*base.columns))
+
+    def _read_entry(self, name: str, entry: dict[str, Any] | None) -> DataFrame:
+        if entry and entry.get("deltas"):
+            base = self._read_rels(name, list(entry["parts"].values()))
+            return self._resolve(name, base, self._delta_latest(name, entry))
+        rels = self._entry_paths(entry) if entry else []
+        return self._read_rels(name, rels)
 
     def read(self, name: str) -> DataFrame:
         """Current committed snapshot of ``name`` (staged writes invisible,
@@ -88,17 +142,23 @@ class IcebergLike:
         """Committed snapshot restricted to the given partitions —
         partition pruning at the manifest level: untouched buckets'
         files are never opened (the Iceberg partition-scan analogue)."""
+        from pyspark.sql import functions as F
+
         entry = self.manifest["tables"].get(name)
         if entry is None or "parts" not in entry:
-            from pyspark.sql import functions as F
-
             return self.read(name).filter(F.col(part_col).isin(list(parts)))
         rels = [entry["parts"][str(p)] for p in parts if str(p) in entry["parts"]]
-        if not rels:
-            return self.spark.createDataFrame([], schemas.ALL_TABLES[name])
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, p) for p in rels]
+        base = self._read_rels(name, rels) if rels else (
+            self.spark.createDataFrame([], schemas.ALL_TABLES[name])
         )
+        if entry.get("deltas"):
+            # a key's bucket never changes across versions, so pruning
+            # deltas by part_col before resolution is exact
+            latest = self._delta_latest(name, entry).filter(
+                F.col(part_col).isin(list(parts))
+            )
+            return self._resolve(name, base, latest)
+        return base
 
     def read_staged(self, name: str) -> DataFrame:
         """Read the staged (not-yet-committed) version of ``name`` if one
@@ -134,6 +194,7 @@ class IcebergLike:
         df: DataFrame,
         part_col: str,
         touched_parts: list[int],
+        clear_deltas: bool = False,
     ) -> None:
         """Partition-level overwrite: replace only ``touched_parts``;
         untouched partitions carry over **by manifest reference** — no
@@ -158,6 +219,13 @@ class IcebergLike:
                 "overwrite requires parts-form history (bootstrap it with "
                 "stage_overwrite_parts)"
             )
+        if prev.get("deltas") and not clear_deltas:
+            raise ValueError(
+                f"table {name!r} has pending delta files; a partition "
+                "overwrite that ignores them would resurrect stale base "
+                "rows — compact() first (or pass clear_deltas=True with "
+                "touched_parts covering every delta row's partition)"
+            )
         parts = dict(prev.get("parts", {}))
         next_version = prev.get("next_version", 1)
         if touched:
@@ -177,6 +245,68 @@ class IcebergLike:
                     parts.pop(str(p), None)  # partition emptied
             next_version = int(rel.rsplit("v", 1)[1]) + 1
         self._staged[name] = {"parts": parts, "next_version": next_version}
+
+    def stage_append_delta(self, name: str, df: DataFrame) -> None:
+        """Merge-on-read upsert commit (the Iceberg/Delta MERGE shape at
+        its cheapest): append ONE file set holding only this epoch's
+        changed rows. Write cost is O(changed), not O(table) — the shape
+        that survives a 10^10-row frontier where partition-level
+        overwrite still rewrites every bucket the epoch dequeued from.
+        Reads resolve newest-key-wins (see ``_resolve``); ``compact``
+        folds deltas back into partition files to bound read fan-in.
+        """
+        if name not in MERGE_KEYS:
+            raise KeyError(f"no merge key registered for table {name!r}")
+        prev = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        if prev.get("paths"):
+            raise ValueError(
+                f"table {name!r} has a full-snapshot manifest; delta commits "
+                "require parts-form history"
+            )
+        rel, absdir = self._new_version_dir(name)
+        df.write.mode("overwrite").parquet(absdir)
+        self._staged[name] = {
+            "parts": dict(prev.get("parts", {})),
+            "deltas": list(prev.get("deltas", [])) + [rel],
+            "next_version": int(rel.rsplit("v", 1)[1]) + 1,
+        }
+
+    def delta_count(self, name: str) -> int:
+        """Number of pending delta file sets (staged view) — the
+        compaction trigger."""
+        entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        return len(entry.get("deltas", []))
+
+    def compact(self, name: str, part_col: str = "part_id") -> list[int]:
+        """Fold pending deltas into partition-level base files.
+
+        Only partitions that appear in some delta row are rewritten
+        (resolved base∪delta for those buckets); every other bucket
+        carries over by manifest reference. Runs inside the current
+        transaction — staged, atomic with the epoch's commit. Returns
+        the rewritten partition ids.
+        """
+        entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        if not entry.get("deltas"):
+            return []
+        latest = self._delta_latest(name, entry).persist()
+        try:
+            dparts = sorted(
+                r[0] for r in latest.select(part_col).distinct().collect()
+            )
+            rels = [
+                entry["parts"][str(p)] for p in dparts if str(p) in entry["parts"]
+            ]
+            base = self._read_rels(name, rels) if rels else (
+                self.spark.createDataFrame([], schemas.ALL_TABLES[name])
+            )
+            resolved = self._resolve(name, base, latest)
+            self.stage_overwrite_parts(
+                name, resolved, part_col, dparts, clear_deltas=True
+            )
+        finally:
+            latest.unpersist()
+        return dparts
 
     def stage_append(self, name: str, df: DataFrame) -> None:
         """Append a new data file set to ``name`` (extracted, lineage —

@@ -80,3 +80,59 @@ def test_pages_corpus_dup_structure(spark, tiny_pages):
     groups = dd.exact_dedup_groups(pages, "doc_id", "text")
     assert groups.count() == 400  # 400 pages over 500 docs → 400 groups
     assert groups.agg(F.max("n_copies")).first()[0] == 1
+
+
+def test_minhash_portable_matches_python_reference(spark):
+    """The portable-hash MinHash+LSH (engine-portable oracle variant)
+    reproduces an independent pure-Python computation bit-for-bit."""
+    import itertools
+    from collections import Counter
+
+    texts = {
+        0: "abcdefgh",
+        1: "abcdefgx",
+        2: "zzzzzzzz",
+        3: "ab",
+        4: "abcdefgh",  # exact copy of 0 → must collide in every band
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_bands_hit
+        for r in dd.minhash_lsh_pairs_portable(
+            docs, "doc_id", "text", n_hashes=8, bands=2
+        ).collect()
+    }
+
+    def shingles(t, k=5):
+        return list(dict.fromkeys(t[i : i + k] for i in range(max(len(t) - k, 0) + 1)))
+
+    def fp(s):
+        acc = 7
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % dd.MINHASH_P
+        return acc
+
+    coeffs = dd.minhash_coeffs(8)
+
+    def band_vals(t, bands=2):
+        fps = [fp(s) for s in shingles(t)]
+        sig = [min((a * x + b) % dd.MINHASH_P for x in fps) for a, b in coeffs]
+        rpb = len(sig) // bands
+        out = []
+        for b in range(bands):
+            acc = 7
+            for r in range(rpb):
+                acc = (acc * 31 + sig[b * rpb + r]) % dd.MINHASH_P
+            out.append((b, acc))
+        return out
+
+    bv = {d: band_vals(t) for d, t in texts.items()}
+    expected = Counter()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        hits = sum(1 for x, y in zip(bv[a], bv[b]) if x == y)
+        if hits:
+            expected[(a, b)] = hits
+    assert got == dict(expected)
+    assert got[(0, 4)] == 2  # identical texts collide in every band

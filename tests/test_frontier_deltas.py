@@ -1,0 +1,219 @@
+"""Merge-on-read frontier delta commits (the true 10^10 write shape).
+
+Partition-level overwrite still rewrites O(frontier) when every bucket
+dequeues every epoch (the steady state of a real crawl). Delta commits
+write only the epoch's CHANGED rows (requeued + backoff + inserted);
+reads resolve newest-key-wins with a broadcast anti-join; compaction
+folds deltas back into bucket files. These tests pin:
+
+- exact equivalence with the overwrite path over multiple epochs,
+- write amplification: a delta epoch adds ONE delta file set and leaves
+  every base bucket file untouched,
+- compaction preserves state and clears deltas inside the transaction,
+- catalog-level upsert semantics (newest delta wins, inserts land,
+  untouched base rows survive), staged invisibility + rollback,
+- refusing a partition overwrite that would silently drop deltas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import functions as F
+
+from hiispider_spark.plans.epoch import EpochConfig, bootstrap, run_epoch
+from hiispider_spark.schemas import FRONTIER
+from hiispider_spark.sources.catalog import IcebergLike
+
+CFG = EpochConfig(
+    k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17, epoch_seconds=60.0
+)
+DELTA_CFG = replace(CFG, frontier_deltas=True, frontier_compact_every=100)
+
+
+def _mk_cat(spark, seeds, cfg, prefix):
+    root = tempfile.mkdtemp(prefix=prefix)
+    cat = IcebergLike(spark, root)
+    bootstrap(spark, cat, seeds, cfg)
+    return cat
+
+
+def _frontier_rows(cat):
+    return sorted(
+        (r.url_hash, r.url, r.part_id, str(r.next_fetch_ts), r.retry_count,
+         r.state, r.priority, r.plugin)
+        for r in cat.read("frontier").collect()
+    )
+
+
+def _manifest_entry(cat, name="frontier"):
+    with open(os.path.join(cat.root, "manifest.json")) as f:
+        return json.load(f)["tables"][name]
+
+
+@pytest.fixture()
+def two_cats(spark, tiny_seeds):
+    a = _mk_cat(spark, tiny_seeds, CFG, "fd_ow_")
+    b = _mk_cat(spark, tiny_seeds, DELTA_CFG, "fd_mor_")
+    yield a, b
+    shutil.rmtree(a.root, ignore_errors=True)
+    shutil.rmtree(b.root, ignore_errors=True)
+
+
+def test_delta_epochs_match_overwrite_epochs(
+    spark, two_cats, tiny_pages, tiny_robots
+):
+    ow, mor = two_cats
+    for _ in range(3):
+        st_ow = run_epoch(spark, ow, tiny_pages, tiny_robots, CFG)
+        st_mor = run_epoch(spark, mor, tiny_pages, tiny_robots, DELTA_CFG)
+        for k in ("n_dequeued", "n_fetched", "n_extracted", "frontier_size"):
+            assert st_ow[k] == st_mor[k], k
+    assert _frontier_rows(ow) == _frontier_rows(mor)
+    # downstream facts identical too
+    ex_a = ow.read("extracted").select("url_hash", "epoch", "content_sha1")
+    ex_b = mor.read("extracted").select("url_hash", "epoch", "content_sha1")
+    assert ex_a.exceptAll(ex_b).count() == 0
+    assert ex_b.exceptAll(ex_a).count() == 0
+
+
+def test_delta_epoch_writes_only_delta(spark, two_cats, tiny_pages, tiny_robots):
+    _, mor = two_cats
+    before = _manifest_entry(mor)
+    st = run_epoch(spark, mor, tiny_pages, tiny_robots, DELTA_CFG)
+    assert st["n_dequeued"] > 0
+    after = _manifest_entry(mor)
+    assert after["parts"] == before["parts"]  # no bucket file rewritten
+    assert len(after.get("deltas", [])) == len(before.get("deltas", [])) + 1
+    # the delta holds only changed rows — strictly fewer than the table
+    dl = spark.read.schema(FRONTIER).parquet(
+        os.path.join(mor.root, after["deltas"][-1])
+    )
+    assert 0 < dl.count() < mor.read("frontier").count()
+
+
+def test_compaction_preserves_state_and_clears_deltas(
+    spark, tiny_seeds, tiny_pages, tiny_robots
+):
+    compact_cfg = replace(DELTA_CFG, frontier_compact_every=2)
+    a = _mk_cat(spark, tiny_seeds, DELTA_CFG, "fd_nc_")
+    b = _mk_cat(spark, tiny_seeds, compact_cfg, "fd_c_")
+    try:
+        for _ in range(3):
+            run_epoch(spark, a, tiny_pages, tiny_robots, DELTA_CFG)
+            run_epoch(spark, b, tiny_pages, tiny_robots, compact_cfg)
+        assert len(_manifest_entry(a).get("deltas", [])) == 3
+        assert len(_manifest_entry(b).get("deltas", [])) <= 1
+        assert _frontier_rows(a) == _frontier_rows(b)
+    finally:
+        shutil.rmtree(a.root, ignore_errors=True)
+        shutil.rmtree(b.root, ignore_errors=True)
+
+
+def test_catalog_delta_upsert_semantics(spark):
+    root = tempfile.mkdtemp(prefix="fd_unit_")
+    try:
+        cat = IcebergLike(spark, root)
+
+        def row(h, part, state="pending", retry=0):
+            return (
+                f"http://h{h}.test/", h, f"h{h}.test", 0, part, 1.0,
+                "2024-01-01 00:00:00", 3600, retry, state, "text",
+            )
+
+        def df(rows):
+            d = spark.createDataFrame(
+                rows,
+                "url string, url_hash long, host string, salt int, "
+                "part_id int, priority double, next_fetch_ts string, "
+                "interval_s int, retry_count int, state string, plugin string",
+            )
+            return d.withColumn(
+                "next_fetch_ts", F.col("next_fetch_ts").cast("timestamp")
+            )
+
+        base = df([row(1, 0), row(2, 0), row(3, 1)])
+        cat.stage_overwrite_parts("frontier", base, "part_id", [0, 1])
+        cat.commit(epoch=0)
+        # delta 1 updates key 1; delta 2 updates key 1 AGAIN + inserts 9
+        cat.stage_append_delta("frontier", df([row(1, 0, retry=1)]))
+        cat.stage_append_delta(
+            "frontier", df([row(1, 0, retry=2), row(9, 1)])
+        )
+        cat.commit(epoch=1)
+        got = {r.url_hash: r for r in cat.read("frontier").collect()}
+        assert set(got) == {1, 2, 3, 9}  # insert landed, base survived
+        assert got[1].retry_count == 2  # newest delta wins
+        assert got[2].retry_count == 0  # untouched base row intact
+        # read_parts prunes deltas by bucket too
+        p1 = {r.url_hash for r in cat.read_parts("frontier", [1]).collect()}
+        assert p1 == {3, 9}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_staged_delta_invisible_and_rollback(spark, tiny_seeds):
+    from hiispider_spark.operators.frontier import build_frontier
+
+    root = tempfile.mkdtemp(prefix="fd_rb_")
+    try:
+        cat = IcebergLike(spark, root)
+        fr = build_frontier(tiny_seeds, n_partitions=8)
+        cat.stage_overwrite_parts("frontier", fr, "part_id", list(range(8)))
+        cat.commit(epoch=0)
+        n0 = cat.read("frontier").count()
+        bump = cat.read("frontier").limit(5).withColumn(
+            "retry_count", F.lit(4)
+        )
+        cat.stage_append_delta("frontier", bump.select(*fr.columns))
+        # staged: committed read unchanged, staged read sees the upsert
+        assert cat.read("frontier").filter("retry_count = 4").count() == 0
+        assert cat.read_staged("frontier").filter("retry_count = 4").count() == 5
+        assert cat.read_staged("frontier").count() == n0
+        delta_rel = cat._staged["frontier"]["deltas"][-1]
+        cat.rollback_staged()
+        assert not os.path.exists(os.path.join(root, delta_rel))
+        assert cat.read("frontier").count() == n0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_overwrite_parts_refuses_pending_deltas(spark, tiny_seeds):
+    from hiispider_spark.operators.frontier import build_frontier
+
+    root = tempfile.mkdtemp(prefix="fd_refuse_")
+    try:
+        cat = IcebergLike(spark, root)
+        fr = build_frontier(tiny_seeds, n_partitions=8)
+        cat.stage_overwrite_parts("frontier", fr, "part_id", list(range(8)))
+        cat.commit(epoch=0)
+        cat.stage_append_delta("frontier", cat.read("frontier").limit(1))
+        with pytest.raises(ValueError, match="pending delta"):
+            cat.stage_overwrite_parts("frontier", fr, "part_id", [0])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_empty_delta_roundtrip(spark, tiny_seeds):
+    from hiispider_spark.operators.frontier import build_frontier
+
+    root = tempfile.mkdtemp(prefix="fd_empty_")
+    try:
+        cat = IcebergLike(spark, root)
+        fr = build_frontier(tiny_seeds, n_partitions=8)
+        cat.stage_overwrite_parts("frontier", fr, "part_id", list(range(8)))
+        cat.commit(epoch=0)
+        n0 = cat.read("frontier").count()
+        cat.stage_append_delta(
+            "frontier", spark.createDataFrame([], FRONTIER)
+        )
+        cat.commit(epoch=1)
+        # an all-deferred epoch's 0-row delta must not break resolution
+        assert cat.read("frontier").count() == n0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -59,3 +59,50 @@ def test_extraction_column_twin_is_jvm_only(spark, tiny_pages):
     p = plan_of(tiny_pages.select(text_extract_col(F.col("html")).alias("t")))
     assert "ArrowEvalPython" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_delta_resolution_is_broadcast_anti_with_pushdown(spark, tiny_seeds):
+    """Merge-on-read frontier resolution must keep the 100 TB shape:
+    base invalidation is a BROADCAST anti-join on the small delta key
+    set (never a sort-merge shuffle of the base), and dequeue filters
+    still push into the base parquet scan through the join + union."""
+    import shutil
+    import tempfile
+
+    from hiispider_spark.sources.catalog import IcebergLike
+
+    root = tempfile.mkdtemp(prefix="plan_mor_")
+    try:
+        cat = IcebergLike(spark, root)
+        fr = build_frontier(tiny_seeds, n_partitions=8)
+        cat.stage_overwrite_parts("frontier", fr, "part_id", list(range(8)))
+        cat.commit(epoch=0)
+        cat.stage_append_delta("frontier", cat.read("frontier").limit(3))
+        cat.commit(epoch=1)
+        q = cat.read("frontier").filter(F.col("state") == "pending")
+        p = plan_of(q)
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p
+        assert "SortMergeJoin" not in p
+        # the state filter reaches the base parquet scan
+        assert "PushedFilters: [IsNotNull(state), EqualTo(state,pending)" in p
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_centroid_assignment_is_join_free(spark):
+    """IVF assignment embeds the (tiny) centroid table as literals —
+    one corpus scan, no join, no exchange, no Python."""
+    from hiispider_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    cents = [(0, [0.1] * dim), (1, [-0.1] * dim)]
+    df = emb.limit(10).select(
+        "vec_id",
+        sim.nearest_centroid_col(
+            F.transform("embedding", lambda x: x.cast("double")), cents
+        ).alias("cid"),
+    )
+    p = plan_of(df)
+    for node in ("Join", "Exchange", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in p

@@ -97,6 +97,37 @@ def test_ivf_recall_vs_brute_force(spark):
         assert assign[r.neighbor_id] == assign[r.query_id]
 
 
+def test_kmeans_quantizer_deterministic_and_trained(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = sim.kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    c2 = sim.kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    assert c1 == c2  # fully deterministic, rounding kills float drift
+    assert 1 <= len(c1) <= 8
+    dim = emb.select(F.size("embedding")).first()[0]
+    assert all(len(cv) == dim for _, cv in c1)
+    # hash-sampled training stays deterministic and usable
+    cs = sim.kmeans_centroids(emb, n_centroids=8, n_iter=2, sample_mod=4)
+    assert cs == sim.kmeans_centroids(emb, n_centroids=8, n_iter=2, sample_mod=4)
+
+
+def test_ivf_kmeans_recall_and_bucket_containment(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(5))
+    cents = sim.kmeans_centroids(emb, n_centroids=10, n_iter=3)
+    bf = sim.brute_force_topk(emb, qids, k=5).collect()
+    ivf = sim.ivf_topk(emb, qids, k=5, centroids=cents).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in bf}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(got) > 0
+    assert len(truth & got) / len(truth) >= 0.2
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in sim.assign_centroids(emb, centroids=cents).collect()
+    }
+    for r in ivf:
+        assert assign[r.neighbor_id] == assign[r.query_id]
+
+
 def _planted_corpus(spark, sf_dir=SF_DIR, n_twins=100):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sim.planted_near_dup_corpus(emb, n_twins), n_twins
