@@ -309,6 +309,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_stats"] = q_host_stats
 
+    def q_host_pagerank(spark, sf):
+        # link-graph authority for frontier re-ranking: one corpus scan
+        # for distinct host edges, then O(hosts) PageRank iterations
+        from hiispider_spark.operators import linkgraph as lg
+
+        pages = synth_pages(spark, sf)
+        return lg.host_pagerank(lg.host_edges(pages), n_iter=3)
+
+    q["host_pagerank"] = q_host_pagerank
+
     def q_extract_text(spark, sf):
         # byte-identical extraction via the pandas UDF vs SQL strip-tags
         pages = synth_pages(spark, sf)
@@ -686,6 +696,39 @@ SELECT url, plugin,
             THEN regexp_extract(html_s, 'href="([^"]*)"', 1)
             ELSE regexp_replace(html_s, '<[^>]*>', '', 'g') END AS text
 FROM routed"""
+
+    # host PageRank twin: iterations unrolled as CTEs; constants written
+    # identically on both sides (1.0 - 0.85, per-iteration round to 10dp
+    # against float-summation-order noise, final round 6)
+    _pr_ctes = ",\n".join(
+        f"""pr{k} AS (
+  SELECT nd.host,
+         round((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(s.c, 0.0), 10) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS host, sum(p.rank / deg.d) AS c
+    FROM edges e JOIN pr{k - 1} p ON p.host = e.src
+                 JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.host = nd.host
+)"""
+        for k in (1, 2, 3)
+    )
+    o["host_pagerank"] = f"""WITH {C},
+raw AS (
+  SELECT regexp_extract(url, '://([^/]*)', 1) AS src,
+         unnest(regexp_extract_all(html_s, 'href="([^"]*)"', 1)) AS href
+  FROM pages_o
+),
+edges AS (
+  SELECT DISTINCT src, regexp_extract(href, '://([^/]*)', 1) AS dst FROM raw
+),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{_pr_ctes}
+SELECT host, round(rank, 6) AS rank FROM pr3"""
 
     o["dedup_exact"] = f"""WITH {C}
 SELECT md5(regexp_replace(text, ' #\\d+$', '')) AS text_hash,

@@ -63,11 +63,17 @@ ROBOTS = T.StructType(
     ]
 )
 
-# D3 — URL-seen set: per-partition Bloom filter bytes + exact backstop.
+# D3 — URL-seen set: per-partition Bloom filters + exact backstop.
+# Filters are stored as array<long> (little-endian 64-bit words, byte
+# layout identical to the raw bitmap) so membership probes run as pure
+# JVM Column expressions (element_at + shifts) — the byte-blob form
+# forced the probe through Python, which measured ANTI-scaling under
+# thread concurrency (8.4 s @4 threads → 10.3 s @16 on 5M candidates;
+# the JVM probe does the same work in 2-3 s flat).
 SEEN_SET = T.StructType(
     [
         T.StructField("partition_id", T.IntegerType(), False),
-        T.StructField("bloom", T.BinaryType(), False),
+        T.StructField("bloom", T.ArrayType(T.LongType()), False),
         T.StructField("n_items", T.LongType(), False),
         T.StructField("fpp", T.DoubleType(), False),
     ]

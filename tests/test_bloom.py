@@ -64,3 +64,59 @@ def test_filter_unseen_exactness(spark):
     assert sorted(r.url_hash for r in got.collect()) == sorted(
         r.url_hash for r in expected.collect()
     )
+
+
+def test_jvm_probe_matches_numpy(spark):
+    """bloom_might_contain_col (pure Column expr) is bit-identical to
+    the numpy _contains over the same stored word-array filter."""
+    df = spark.range(3000).select(
+        F.lit(0).cast("int").alias("part_id"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    blooms = seen.build_partition_blooms(df, M, K).collect()
+    words = np.asarray(blooms[0].bloom, dtype=np.int64)
+    bl = words.view(np.uint8)
+    probe = spark.range(2000, 8000).select(F.xxhash64("id").alias("url_hash"))
+    from pyspark.sql import functions as F2
+
+    got = (
+        probe.crossJoin(
+            spark.createDataFrame([(blooms[0].bloom,)], "bloom array<long>")
+        )
+        .select(
+            "url_hash",
+            seen.bloom_might_contain_col(
+                F2.col("url_hash"), F2.col("bloom"), M, K
+            ).alias("m"),
+        )
+        .collect()
+    )
+    h = np.array([r.url_hash for r in got], dtype=np.int64)
+    want = seen._contains(bl, h.view(np.uint64), M, K)
+    assert all(bool(r.m) == bool(w) for r, w in zip(got, want))
+
+
+def test_filter_unseen_partitioned_modes_agree(spark):
+    """Broadcast JVM probe and cogroup python probe return the same
+    unseen set (both end at the exact anti-join authority)."""
+    base = spark.range(4000).select(
+        (F.col("id") % 8).cast("int").alias("part_id"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    blooms = seen.build_partition_blooms(base, M, K)
+    seen_exact = base.select("url_hash")
+    cands = spark.range(2000, 10000).select(
+        (F.col("id") % 8).cast("int").alias("part_id"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    a = seen.filter_unseen_partitioned(
+        cands, blooms, seen_exact, M, K, broadcast_filters=True
+    )
+    b = seen.filter_unseen_partitioned(
+        cands, blooms, seen_exact, M, K, broadcast_filters=False
+    )
+    want = cands.join(seen_exact, "url_hash", "left_anti")
+    sa = sorted(r.url_hash for r in a.collect())
+    sb = sorted(r.url_hash for r in b.collect())
+    sw = sorted(r.url_hash for r in want.collect())
+    assert sa == sb == sw
