@@ -209,10 +209,20 @@ def run_crawl(
     finally:
         if own_pages_dir:
             shutil.rmtree(pages_dir, ignore_errors=True)
-        # drain late task-completion events before teardown — stopping
-        # immediately races PythonAccumulatorV2 merges against the
-        # closed accumulator socket (benign ERROR spam in stderr)
+        # teardown races: late task-completion events merge
+        # PythonAccumulatorV2 against the already-closed accumulator
+        # socket — harmless (all actions returned; rc=0) but each one
+        # prints a full ERROR stack. Drain briefly, then mute exactly
+        # that logger for the stop window.
         time.sleep(1.0)
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.scheduler.DAGScheduler",
+                jvm.org.apache.logging.log4j.Level.OFF,
+            )
+        except Exception:
+            pass  # logging backend differs → keep the (benign) spam
         spark.stop()
 
 

@@ -174,6 +174,7 @@ def new_frontier_entries(
     discovered_priority: float = 0.1,
     discovered_plugin: str = "text",
     assume_new: bool = False,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Frontier-shaped rows for discovered URLs not yet in the frontier
     (the insert side of O-21). Exposed separately from the union so the
@@ -196,7 +197,12 @@ def new_frontier_entries(
         c for c in ("url", "url_hash", "host", "salt", "part_id")
         if c in new_urls.columns
     ]
-    hashed = new_urls.select(*keep).dropDuplicates(["url"])
+    hashed = new_urls.select(*keep)
+    if not assume_unique:
+        # callers that canonicalized+deduped upstream (the epoch does,
+        # before hashing) skip this — it is a full shuffle of the
+        # candidate set purely to re-prove uniqueness
+        hashed = hashed.dropDuplicates(["url"])
     if "url_hash" not in keep:
         hashed = hashed.withColumn("url_hash", url_hash_udf(url))
     candidates = hashed

@@ -251,8 +251,11 @@ def run_epoch(
             # candidates already passed the seen-set exact check, and
             # seen_exact ⊇ frontier membership (same atomic commits, no
             # deletes) — the in-function frontier anti-join would shuffle
-            # O(frontier) per epoch to learn nothing
+            # O(frontier) per epoch to learn nothing. They were also
+            # deduped by canonical url before hashing (assume_unique):
+            # re-deduping would shuffle the candidate set again.
             assume_new=True,
+            assume_unique=True,
         ).persist()
         ins_per_part = inserted.groupBy("part_id").count().collect()
         ins_parts = sorted(r.part_id for r in ins_per_part)
@@ -276,6 +279,9 @@ def run_epoch(
             frontier_delta = frontier_delta.unionByName(
                 inserted.select(*FRONTIER_COLS)
             )
+        # the 3-way union stacks ~3×P partitions → 3×P files; merge
+        # narrow (no shuffle) so the delta lands as P files
+        frontier_delta = frontier_delta.coalesce(cfg.n_partitions)
         new_frontier = None
     else:
         # partition-level overwrite: only buckets this epoch touched
@@ -362,7 +368,13 @@ def run_epoch(
         lambda: cat.stage_append("lineage", lin.coalesce(1)),
     ]
     if cfg.follow_links and ins_parts:  # nothing new discovered → no-op
-        jobs.append(lambda: cat.stage_append("seen_exact", inserted.select("url_hash")))
+        jobs.append(
+            # bare 8-byte hashes: a handful of files is plenty, and the
+            # driver-side commit cost is per file
+            lambda: cat.stage_append(
+                "seen_exact", inserted.select("url_hash").coalesce(8)
+            )
+        )
         jobs.append(
             lambda: cat.stage_overwrite_parts(
                 "seen_set",
