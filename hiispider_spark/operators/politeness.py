@@ -91,9 +91,13 @@ def apply_token_buckets(
 
     Input: slice columns + ``crawl_delay`` (from split_robots).
     Output: input frontier columns + ``granted`` boolean +
-    ``tokens_left`` / ``bucket_cap`` (per-host state echoed on every row
-    so the caller can derive the next ``politeness`` snapshot without a
-    second shuffle).
+    ``tokens_avail`` / ``bucket_cap`` (per-host state echoed on every
+    row so the caller can derive the next ``politeness`` snapshot
+    without a second shuffle). ``tokens_avail`` is the PRE-grant token
+    count: the next-state charge is computed from the final ``granted``
+    flags, so downstream revocations (``apply_global_cap``) refund
+    automatically instead of permanently charging hosts for fetches
+    that never issued.
     """
     state = politeness_state.select(
         "host",
@@ -111,7 +115,7 @@ def apply_token_buckets(
     out_fields = [with_state.schema[c] for c in frontier_cols] + [
         T.StructField("crawl_delay", T.DoubleType(), False),
         T.StructField("granted", T.BooleanType(), False),
-        T.StructField("tokens_left", T.DoubleType(), False),
+        T.StructField("tokens_avail", T.DoubleType(), False),
         T.StructField("bucket_cap", T.DoubleType(), False),
     ]
     out_schema = T.StructType(out_fields)
@@ -142,7 +146,7 @@ def apply_token_buckets(
         out = pdf[frontier_cols].copy()
         out["crawl_delay"] = delay
         out["granted"] = granted
-        out["tokens_left"] = tokens - float(granted.sum())
+        out["tokens_avail"] = tokens
         out["bucket_cap"] = cap
         return out
 
@@ -230,12 +234,21 @@ def next_politeness_state(
 ) -> DataFrame:
     """Next ``politeness`` snapshot from the echoed per-row state —
     only the hosts this epoch touched (the caller carries the rest of
-    their buckets over and commits partition-level)."""
+    their buckets over and commits partition-level).
+
+    ``tokens = tokens_avail - n_actually_granted``: charging from the
+    FINAL granted flags (not the token-bucket's own grant count) means
+    grants revoked by ``apply_global_cap`` cost nothing — the
+    reference's global ``max_simultaneous_requests`` queues requests
+    without consuming per-host rate budget."""
     return (
         bucketed.groupBy("host")
         .agg(
             F.first("crawl_delay").alias("crawl_delay"),
-            F.first("tokens_left").alias("tokens"),
+            (
+                F.first("tokens_avail")
+                - F.sum(F.col("granted").cast("double"))
+            ).alias("tokens"),
         )
         .withColumn("last_refill", F.lit(epoch_ts).cast("timestamp"))
         .withColumn("part_id", pol_part_col(F.col("host"), n_partitions))

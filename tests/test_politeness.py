@@ -138,6 +138,49 @@ def test_global_inflight_cap(spark, tiny_seeds, tiny_robots):
     bucketed.unpersist()
 
 
+def test_global_cap_refunds_tokens(spark, tiny_seeds, tiny_robots):
+    """Grants revoked by the global cap must NOT consume per-host rate
+    budget (the reference's max_simultaneous_requests queues without
+    charging). Next-state tokens = tokens_avail - n_actually_granted."""
+    from hiispider_spark.operators.politeness import apply_global_cap
+
+    fr = build_frontier(tiny_seeds, n_partitions=8)
+    sl = dequeue_topk(fr, "2024-01-01 00:01:00", 1 << 20)
+    allowed, _ = split_robots(sl, tiny_robots)
+    empty = spark.createDataFrame([], POLITENESS)
+    bucketed = apply_token_buckets(
+        allowed, empty, "2024-01-01 00:01:00", 60.0
+    ).persist()
+    n_granted = bucketed.filter("granted").count()
+    capped = apply_global_cap(bucketed, n_granted // 2).persist()
+
+    pre = {
+        r.host: r.tokens
+        for r in next_politeness_state(bucketed, "2024-01-01 00:01:00").collect()
+    }
+    post = {
+        r.host: r.tokens
+        for r in next_politeness_state(capped, "2024-01-01 00:01:00").collect()
+    }
+    revoked = {
+        r.host: r.n
+        for r in bucketed.filter("granted")
+        .join(capped.filter("granted").select("url_hash"), "url_hash", "left_anti")
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert revoked  # the cap actually revoked something
+    for host, n_rev in revoked.items():
+        # every revoked grant is refunded into the persisted state
+        assert abs(post[host] - (pre[host] + n_rev)) < 1e-9
+    for host in pre:  # untouched hosts unchanged
+        if host not in revoked:
+            assert abs(post[host] - pre[host]) < 1e-9
+    bucketed.unpersist()
+    capped.unpersist()
+
+
 def test_epoch_respects_max_inflight(spark, tiny_pages, tiny_seeds, tiny_robots):
     import shutil
     import tempfile
