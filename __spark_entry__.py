@@ -729,6 +729,7 @@ raw AS (
 ),
 edges AS (
   SELECT DISTINCT src, regexp_extract(href, '://([^/]*)', 1) AS dst FROM raw
+  WHERE src <> '' AND regexp_extract(href, '://([^/]*)', 1) <> ''
 ),
 nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),

@@ -34,7 +34,12 @@ def _host_of(url: Column) -> Column:
 
 
 def host_edges(pages: DataFrame) -> DataFrame:
-    """Distinct (src, dst) host pairs from the page store's hrefs."""
+    """Distinct (src, dst) host pairs from the page store's hrefs.
+
+    Relative / schemeless hrefs miss the host regexp (empty string);
+    keeping them would funnel rank mass into a ``''`` pseudo-host that
+    ``rerank_frontier`` can never match — filter both endpoints (the
+    DuckDB oracle twin mirrors the same predicate)."""
     html_s = F.col("html").cast("string")
     return (
         pages.select(
@@ -44,6 +49,7 @@ def host_edges(pages: DataFrame) -> DataFrame:
             ).alias("href"),
         )
         .select("src", _host_of(F.col("href")).alias("dst"))
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
         .distinct()
     )
 
@@ -54,12 +60,21 @@ def host_pagerank(
     """(host, rank) after ``n_iter`` PageRank steps over the distinct
     edge set. Dangling hosts keep the teleport term only (their mass is
     not redistributed — both engines drop it identically)."""
+    spark = edges.sparkSession
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
     )
+    # edges/nodes/deg are re-joined every iteration — persist once
+    # (O(hosts) / O(host-pairs) narrow rows, orders below corpus size)
+    truncate = n_iter > 5
+    if truncate:
+        edges = edges.persist()
+        nodes = nodes.persist()
     n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "host string, rank double")
     deg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("d")
     )
@@ -80,7 +95,18 @@ def host_pagerank(
                 10,
             ).alias("rank"),
         )
-    return pr.select("host", F.round("rank", 6).alias("rank"))
+        if truncate:
+            # lineage grows linearly with iterations; without truncation
+            # Catalyst re-analyzes an ever-deeper plan (and AQE re-plans
+            # it) each step — localCheckpoint keeps per-iteration wall
+            # flat. Values are unaffected: each step rounds to 10 dp.
+            pr = pr.localCheckpoint(eager=True)
+    out = pr.select("host", F.round("rank", 6).alias("rank"))
+    if truncate:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+        nodes.unpersist()
+    return out
 
 
 def rerank_frontier(

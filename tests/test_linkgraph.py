@@ -50,6 +50,39 @@ def test_pagerank_deterministic(spark):
     assert _ranks(spark, edges) == _ranks(spark, edges)
 
 
+def test_pagerank_empty_edges(spark):
+    out = _ranks(spark, [])
+    assert out == {}
+
+
+def test_host_edges_drops_relative_hrefs(spark):
+    # relative + schemeless hrefs miss the host regexp → must be
+    # filtered, not funneled into a '' pseudo-host
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://a.example.org/",
+                b'<a href="/rel/path">x</a><a href="http://b.example.org/p">y</a>',
+            )
+        ],
+        "url string, html binary",
+    )
+    edges = lg.host_edges(pages).collect()
+    assert len(edges) == 1
+    assert edges[0].src == "a.example.org" and edges[0].dst == "b.example.org"
+
+
+def test_pagerank_deep_iteration_truncated_lineage(spark):
+    """n_iter > 5 switches to per-iteration localCheckpoint; 20
+    iterations must complete with sane values (sum ≤ 1, ranks > 0)."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    got = _ranks(spark, edges, n_iter=20)
+    want = _py_pagerank(edges, n_iter=20)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-8, v
+
+
 def test_host_edges_from_pages(spark, tiny_pages):
     edges = lg.host_edges(tiny_pages)
     assert edges.count() == edges.distinct().count()
