@@ -168,7 +168,14 @@ def hyperplane_near_dup_pairs(
     or IVF bucketing and accept its recall instead.
     """
     if dim is None:
-        dim = embeddings.select(F.size("embedding")).first()[0]
+        first = embeddings.select(F.size("embedding")).first()
+        if first is None:  # empty corpus → no pairs (dim is irrelevant)
+            return embeddings.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+                F.lit(0.0).alias("cos_sim"),
+            ).limit(0)
+        dim = first[0]
     rows_per_band = n_planes // bands
     sig = embeddings.select(
         "vec_id",
@@ -277,6 +284,28 @@ def nearest_centroid_col(
     return (-F.array_max(pairs)["nid"]).cast("int")
 
 
+def probe_centroids_col(
+    v: Column, cents: list[tuple[int, list[float]]], n_probe: int
+) -> Column:
+    """Array of the ``n_probe`` nearest centroid ids, best first — the
+    multi-probe generalization of :func:`nearest_centroid_col` (same
+    literal-centroid, join-free, shuffle-free shape; element 0 always
+    equals the argmax assignment, same (sim, -id) tie-break)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_col(v, F.array(*[F.lit(x) for x in cv])), 6
+                ).alias("sim"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    topn = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+    return F.transform(topn, lambda s: (-s["nid"]).cast("int"))
+
+
 def stride_centroids(
     embeddings: DataFrame, every: int = 50
 ) -> list[tuple[int, list[float]]]:
@@ -318,6 +347,9 @@ def kmeans_centroids(
         vecs = vecs.filter(
             F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
         )
+    # init + every Lloyd iteration scans vecs — persist once instead of
+    # re-reading (and re-casting) the corpus n_iter+1 times
+    vecs = vecs.persist()
     init = (
         vecs.withColumn(
             "centroid_id",
@@ -349,6 +381,7 @@ def kmeans_centroids(
             )
         )
         cents = [(int(r[0]), list(r[1])) for r in mean.collect()]
+    vecs.unpersist()
     return cents
 
 
@@ -382,19 +415,33 @@ def ivf_topk(
     n_probe: int = 1,
     centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF ANN: search only the query's centroid bucket(s).
+    """IVF ANN: search only the query's ``n_probe`` nearest centroid
+    buckets.
 
-    n_probe=1 scans ~1/n_centroids of the corpus per query. Returns the
-    same schema as brute_force_topk (approximate results). Pass
+    n_probe=1 scans ~1/n_centroids of the corpus per query; raising
+    n_probe trades scan cost for recall (each extra probe adds one
+    bucket's worth of candidates — recall is monotone in n_probe since
+    the candidate set only grows). Returns the same schema as
+    brute_force_topk (approximate results). Pass
     ``centroids=kmeans_centroids(...)`` for trained buckets (higher
     recall at the same probe cost than the stride baseline).
     """
+    if centroids is None:
+        centroids = stride_centroids(embeddings, every)
     assign = assign_centroids(embeddings, every, centroids=centroids)
     emb = embeddings.join(assign, "vec_id")
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        _as_double(F.col("embedding")).alias("qv"),
-        F.col("centroid_id").alias("q_cent"),
+    q = (
+        emb.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+            probe_centroids_col(
+                _as_double(F.col("embedding")), centroids, n_probe
+            ).alias("probes"),
+        )
+        # one query row per probed bucket; corpus vectors live in
+        # exactly one bucket, so no pair is produced twice
+        .select("query_id", "qv", F.explode("probes").alias("q_cent"))
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -128,6 +128,66 @@ def test_ivf_kmeans_recall_and_bucket_containment(spark):
         assert assign[r.neighbor_id] == assign[r.query_id]
 
 
+def test_ivf_multiprobe_recall_monotone(spark):
+    """n_probe must actually widen the candidate set: recall vs brute
+    force is monotone non-decreasing in n_probe, and probing every
+    bucket recovers brute force exactly."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(5))
+    cents = sim.kmeans_centroids(emb, n_centroids=10, n_iter=3)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, qids, k=5).collect()
+    }
+    recalls = []
+    for n_probe in (1, 2, 4, len(cents)):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_topk(
+                emb, qids, k=5, centroids=cents, n_probe=n_probe
+            ).collect()
+        }
+        recalls.append(len(truth & got) / len(truth))
+    assert recalls == sorted(recalls)  # monotone non-decreasing
+    assert recalls[-1] == 1.0  # all buckets probed == exact
+    assert recalls[-1] > recalls[0]  # the knob changes the result
+
+
+def test_ivf_multiprobe_candidates_from_probed_buckets(spark):
+    """Every n_probe=2 result comes from one of the query's 2 nearest
+    centroid buckets (and the first probe is the argmax assignment)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = list(range(5))
+    cents = sim.kmeans_centroids(emb, n_centroids=10, n_iter=3)
+    probes = {
+        r.vec_id: list(r.p)
+        for r in emb.filter(F.col("vec_id").isin(qids))
+        .select(
+            "vec_id",
+            sim.probe_centroids_col(
+                F.transform("embedding", lambda x: x.cast("double")),
+                cents,
+                2,
+            ).alias("p"),
+        )
+        .collect()
+    }
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in sim.assign_centroids(emb, centroids=cents).collect()
+    }
+    for q, ps in probes.items():
+        assert ps[0] == assign[q]  # probe[0] == argmax assignment
+    ivf = sim.ivf_topk(emb, qids, k=5, centroids=cents, n_probe=2).collect()
+    for r in ivf:
+        assert assign[r.neighbor_id] in probes[r.query_id]
+
+
+def test_hyperplane_empty_corpus(spark):
+    empty = _vecs(spark, [])
+    assert sim.hyperplane_near_dup_pairs(empty, threshold=0.9).count() == 0
+
+
 def _planted_corpus(spark, sf_dir=SF_DIR, n_twins=100):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sim.planted_near_dup_corpus(emb, n_twins), n_twins
