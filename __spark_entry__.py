@@ -382,6 +382,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = q_dedup_simhash
 
+    def q_dedup_simhash_portable(spark, sf):
+        # portable per-bit hash family → DuckDB mirrors the FULL 32-bit
+        # SimHash signature value-for-value (the 64-bit xxhash64 variant
+        # above stays the production path, graded rows-only)
+        # t=3 on 32 bits: 4 blocks of 8 bits — selective join keys and
+        # a discriminative threshold (t=8/32 matches most of this
+        # templated corpus)
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return dd.simhash_near_dups_portable(
+            docs, "doc_id", "text", max_hamming=3
+        )
+
+    q["dedup_simhash_portable"] = q_dedup_simhash_portable
+
     def q_text_profile(spark, sf):
         return ts.document_profile(_docs(spark, sf), "doc_id", "text")
 
@@ -818,6 +832,43 @@ FROM stacked a JOIN stacked b
   ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
+    # portable SimHash twin: 32 signature bits, each an independent
+    # universal hash of the token char-fp — coefficients generated from
+    # the SAME module constants the Spark exprs use. The oracle skips
+    # the (lossless) pigeonhole block prefilter and verifies all pairs
+    # directly: identical result set by construction.
+    _sh_bits = "\n     + ".join(
+        f"(CASE WHEN coalesce(list_sum([CASE WHEN (({a} * fp + {c}) % {_P}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END FOR fp IN fps]), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b, (a, c) in enumerate(dd.simhash_coeffs(32))
+    )
+    o["dedup_simhash_portable"] = f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(text, ' #\\d+$', '') AS t
+  FROM documents WHERE doc_id < 200
+),
+toks AS (
+  SELECT doc_id, [w FOR w IN string_split(t, ' ') IF w <> ''] AS ws FROM base
+),
+fp AS (
+  SELECT doc_id,
+    [list_reduce(
+       list_prepend(CAST(7 AS BIGINT),
+         [CAST(ascii(substr(w, j+1, 1)) AS BIGINT) FOR j IN range(length(w))]),
+       (acc, c) -> (acc * 31 + c) % {_P}) FOR w IN ws] AS fps
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+       {_sh_bits} AS sig
+  FROM fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3"""
+
     stop = {
         lang: ", ".join(f"'{w}'" for w in ws)
         for lang, ws in ts.LANG_STOPWORDS.items()
@@ -892,6 +943,31 @@ WHERE round(
     list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(a.embedding, b.embedding)])
     / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN a.embedding]))
       * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN b.embedding])) ), 6) >= 0.3"""
+
+    # embedding near-dup LSH twin: the planted-twin corpus is mirrored
+    # in SQL (same splitmix-free perturbation formula); the oracle skips
+    # the hyperplane banding — on this corpus sims are either ≈0.999
+    # (planted twins, band-recall ≈ 1 with the deterministic planes) or
+    # < 0.5, so "pairs with rounded cos ≥ 0.9" is the exact result set
+    # the banded+verified Spark path emits (verified value-for-value at
+    # sf0.01 by tools/check_oracle.py).
+    _cos_ab = """(
+    list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(a.embedding, b.embedding)])
+    / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN a.embedding]))
+      * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN b.embedding])) ))"""
+    o["embedding_near_dup_lsh"] = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+    [CAST(embedding[i+1] * (1.0 + (((i*37) % 100)/100.0 - 0.5) * 0.05) AS FLOAT)
+     FOR i IN range(len(embedding))] AS embedding
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_ab}, 6) AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round({_cos_ab}, 6) >= 0.9"""
 
     o["agg_pricing"] = """
 SELECT l_returnflag, l_linestatus,

@@ -154,12 +154,14 @@ def run_crawl(
             k_per_partition=1 << 17,
             n_partitions=32,
             bloom_m_bits=1 << 24,
-            collect_stats=False,
+            # stats are O(1) now (manifest counters + one cached-slice
+            # count) — benchmark the default-on config
+            collect_stats=True,
             epoch_seconds=epoch_seconds,
-            # merge-on-read frontier commits: the 100 TB write shape
-            # (O(changed rows) per epoch), and the honest bench config —
-            # writes are the phase that does NOT scale with threads here
-            frontier_deltas=True,
+            # merge-on-read state commits (the default): the 100 TB
+            # write shape — O(changed rows) per epoch for all three
+            # keyed state tables
+            state_deltas=True,
         )
         _warm_python_workers(spark, cpus)
         if warmup is None:

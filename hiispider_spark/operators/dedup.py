@@ -355,8 +355,20 @@ def simhash_near_dups(
     to t (B = t+1, capped at 16 so blocks stay ≥4 bits and the join
     keys stay selective).
     """
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_col(tokens_col(normalized_text(F.col(text_col)))).alias("sig"),
+    )
+    return _blocked_hamming_pairs(sig, max_hamming, n_bits=64)
+
+
+def _blocked_hamming_pairs(
+    sig: DataFrame, max_hamming: int, n_bits: int
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) from a (doc_id, sig) frame
+    via the pigeonhole block equi-join (see simhash_near_dups)."""
     n_blocks = min(max(max_hamming + 1, 2), 16)
-    base, rem = divmod(64, n_blocks)
+    base, rem = divmod(n_bits, n_blocks)
     starts, widths = [], []
     pos = 0
     for i in range(n_blocks):
@@ -364,10 +376,6 @@ def simhash_near_dups(
         starts.append(pos)
         widths.append(w)
         pos += w
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_col(tokens_col(normalized_text(F.col(text_col)))).alias("sig"),
-    )
     blocks = sig.select(
         "doc_id",
         "sig",
@@ -407,3 +415,67 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---- portable-hash SimHash (engine-portable → real value oracle) ----
+# The xxhash64 SimHash above is the fast JVM path (rows-only grading).
+# This variant derives each signature bit from an independent portable
+# universal hash — bit_b(token) = ((a_b·fp(token) + c_b) mod p) mod 2,
+# fp = the char-rolling polynomial both engines compute identically —
+# so DuckDB mirrors the signature bit-for-bit and the pair set is value
+# oracle-checked. 32 bits (not 64): the oracle reassembles sig as a sum
+# of 1<<b terms, which must stay inside BIGINT on both engines. The
+# per-bit sign-sum construction is standard SimHash (Charikar '02) with
+# an explicit hash family instead of "bits of one 64-bit hash".
+
+
+def simhash_coeffs(n_bits: int) -> list[tuple[int, int]]:
+    """Deterministic (a_b, c_b), a ∈ [1,p-1], c ∈ [0,p-1] — disjoint
+    splitmix stream from minhash_coeffs (offset 1000)."""
+    return [
+        (
+            (_mh_splitmix(1000 + 2 * b) % (MINHASH_P - 1)) + 1,
+            _mh_splitmix(1000 + 2 * b + 1) % MINHASH_P,
+        )
+        for b in range(n_bits)
+    ]
+
+
+def simhash_portable_col(tokens: Column, n_bits: int = 32) -> Column:
+    """Engine-portable SimHash signature (pure integer arithmetic, all
+    intermediates < p² < 2⁶³)."""
+    fps = F.transform(tokens, char_fp_col)
+
+    def _step(a: int, c: int):
+        return lambda acc, h: acc + F.when(
+            ((F.lit(a) * h + F.lit(c)) % MINHASH_P) % 2 == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b, (a, c) in enumerate(simhash_coeffs(n_bits)):
+        s = F.aggregate(fps, F.lit(0).cast("long"), _step(a, c))
+        sig = sig + F.shiftleft(
+            F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
+        )
+    return sig
+
+
+def simhash_near_dups_portable(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dups with the portable hash family — identical
+    output computable by the DuckDB oracle (which skips the lossless
+    block prefilter and verifies all pairs directly; same result set).
+    Same (doc_a, doc_b, hamming) contract as :func:`simhash_near_dups`.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_portable_col(
+            tokens_col(normalized_text(F.col(text_col))), n_bits
+        ).alias("sig"),
+    )
+    return _blocked_hamming_pairs(sig, max_hamming, n_bits=n_bits)

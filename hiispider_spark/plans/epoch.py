@@ -69,8 +69,9 @@ class EpochConfig:
     epoch_seconds: float = EPOCH_SECONDS
     bloom_m_bits: int = seen_ops.DEFAULT_M_BITS
     follow_links: bool = True
-    # False → per-epoch counters come from the lineage table (already
-    # computed for the commit) instead of extra count() jobs
+    # per-epoch summary counters. frontier_size comes from manifest
+    # footer counts (O(1), no job — catalog.row_count); n_granted is one
+    # count over the persisted slice. Cheap enough to default on.
     collect_stats: bool = True
     # host-level negative cache (O-7): hosts with ≥ threshold failures
     # in one epoch are embargoed for neg_cache_ttl_s
@@ -83,17 +84,23 @@ class EpochConfig:
     # total grants per epoch across ALL hosts, waterfilled across
     # buckets — None keeps per-host budgets only (golden fixtures)
     max_inflight: int | None = None
-    # Merge-on-read frontier commits: each epoch appends a delta file of
-    # only the CHANGED rows (requeued + backoff + inserted; deferred/
-    # denied/embargoed rows are byte-unchanged so the base stays
-    # authoritative) instead of rewriting every touched bucket. At a
+    # Merge-on-read state commits (default — the 10^10 write shape):
+    # each epoch appends a delta file of only the CHANGED rows for every
+    # keyed state table — frontier (requeued + backoff + denied +
+    # inserted; deferred/embargoed rows are byte-unchanged so the base
+    # stays authoritative), page_cache (fetched digests), politeness
+    # (touched hosts) — instead of rewriting every touched bucket. At a
     # 10^10-row frontier where every bucket dequeues every epoch,
-    # partition-level overwrite still writes O(frontier); deltas write
-    # O(epoch work). Reads resolve newest-wins via a broadcast anti-join
-    # (catalog.MERGE_KEYS); compaction every `frontier_compact_every`
-    # epochs bounds read fan-in and the broadcast key-set size.
-    frontier_deltas: bool = False
-    frontier_compact_every: int = 8
+    # partition-level overwrite still writes O(table) for each of them;
+    # deltas write O(epoch work). Reads resolve newest-wins
+    # (catalog.MERGE_KEYS, size-gated broadcast anti-join); compaction
+    # folds deltas into bucket files when EITHER the file-set count
+    # (read fan-in) or the accumulated delta rows (resolve key-set /
+    # broadcast size) passes its bound. False = partition-level
+    # overwrite commits (byte-identical state, more write amplification).
+    state_deltas: bool = True
+    compact_every: int = 8
+    compact_delta_rows: int = 4_000_000
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -121,7 +128,14 @@ def bootstrap(
     all_parts = list(range(cfg.n_partitions))
     cat.stage_overwrite_parts("frontier", frontier, "part_id", all_parts)
     frontier_c = cat.read_staged("frontier")  # materialized once on disk
-    cat.stage_overwrite("seen_exact", frontier_c.select("url_hash"))
+    if cfg.state_deltas:
+        # seen_exact ≡ frontier membership: reference the frontier's
+        # bucket files instead of writing a url_hash copy of the table
+        cat.stage_append_ref(
+            "seen_exact", cat.staged_part_rels("frontier"), replace=True
+        )
+    else:
+        cat.stage_overwrite("seen_exact", frontier_c.select("url_hash"))
     cat.stage_overwrite_parts(
         "seen_set",
         seen_ops.build_partition_blooms(frontier_c, cfg.bloom_m_bits),
@@ -259,12 +273,15 @@ def run_epoch(
         ).persist()
         ins_per_part = inserted.groupBy("part_id").count().collect()
         ins_parts = sorted(r.part_id for r in ins_per_part)
+        n_inserted = int(sum(r["count"] for r in ins_per_part))
         _mark("seen_insert")
+    else:
+        n_inserted = 0
 
     requeued = requeue_fetched(fetched.select(*FRONTIER_COLS), ts)
     backoff = requeue_failed(failed.select(*FRONTIER_COLS), ts)
     touched_all = sorted(set(touched) | set(ins_parts))
-    if cfg.frontier_deltas:
+    if cfg.state_deltas:
         # merge-on-read commit: ONLY the rows this epoch changed —
         # requeued/backoff (schedule advanced), denied (state flips to
         # robots_denied, leaving the pending pool), inserted (new).
@@ -306,26 +323,49 @@ def run_epoch(
             )
         new_frontier = new_frontier.repartition(cfg.n_partitions, "part_id")
 
-    # page-cache state: fetched rows replace their digests, the rest of
-    # the touched buckets carry; untouched buckets never open
-    cache_next = fetched.select("part_id", "url_hash", "content_sha1").unionByName(
-        cat.read_parts("page_cache", touched).join(
-            fetched.select("url_hash"), "url_hash", "left_anti"
-        )
-    )
-
-    # politeness state, partition-level: updated hosts replace; only
-    # their host-hash buckets rewrite (read via manifest-pruned paths),
-    # every other bucket carries by reference — never an O(all-hosts)
-    # rewrite. pol_parts is a tiny collect over this epoch's hosts.
+    # page-cache + politeness state — same merge-on-read vs
+    # partition-overwrite choice as the frontier: both are keyed
+    # read-modify-write tables with the identical 10^10
+    # write-amplification problem.
     new_state = pol.next_politeness_state(bucketed, ts, cfg.n_partitions)
-    pol_parts = sorted(
-        r.part_id for r in new_state.select("part_id").distinct().collect()
-    )
-    carried = cat.read_parts("politeness", pol_parts).join(
-        new_state.select("host"), "host", "left_anti"
-    )
-    politeness_next = new_state.unionByName(carried)
+    if cfg.state_deltas:
+        # delta = exactly this epoch's changed keys: fetched digests /
+        # touched hosts. O(slice) rows, a handful of files; no carried
+        # read, no per-table parts collect.
+        cache_job = lambda: cat.stage_append_delta(  # noqa: E731
+            "page_cache",
+            fetched.select("part_id", "url_hash", "content_sha1").coalesce(8),
+        )
+        politeness_job = lambda: cat.stage_append_delta(  # noqa: E731
+            "politeness", new_state.coalesce(1)
+        )
+    else:
+        # fetched rows replace their digests, the rest of the touched
+        # buckets carry; untouched buckets never open
+        cache_next = fetched.select(
+            "part_id", "url_hash", "content_sha1"
+        ).unionByName(
+            cat.read_parts("page_cache", touched).join(
+                fetched.select("url_hash"), "url_hash", "left_anti"
+            )
+        )
+        cache_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
+            "page_cache", cache_next, "part_id", touched
+        )
+        # updated hosts replace; only their host-hash buckets rewrite
+        # (manifest-pruned paths), every other bucket carries by
+        # reference. pol_parts is a tiny collect over this epoch's hosts.
+        pol_parts = sorted(
+            r.part_id
+            for r in new_state.select("part_id").distinct().collect()
+        )
+        carried = cat.read_parts("politeness", pol_parts).join(
+            new_state.select("host"), "host", "left_anti"
+        )
+        politeness_next = new_state.unionByName(carried)
+        politeness_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
+            "politeness", politeness_next, "part_id", pol_parts
+        )
 
     # lineage (per-bucket metrics) — extraction carries part_id through
     lin = build_lineage(sl, fetched, extracted_new, failed, e, ts)
@@ -345,9 +385,9 @@ def run_epoch(
     neg_next = next_neg_cache(
         neg_cache, failed, ts, cfg.neg_cache_fail_threshold, cfg.neg_cache_ttl_s
     )
-    if cfg.frontier_deltas:
+    if cfg.state_deltas:
         frontier_job = lambda: cat.stage_append_delta(  # noqa: E731
-            "frontier", frontier_delta
+            "frontier", frontier_delta, n_new_keys=n_inserted
         )
     else:
         frontier_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
@@ -355,26 +395,25 @@ def run_epoch(
         )
     jobs = [
         frontier_job,
-        lambda: cat.stage_overwrite_parts(
-            "politeness", politeness_next, "part_id", pol_parts
-        ),
+        politeness_job,
         lambda: cat.stage_overwrite("neg_cache", neg_next.coalesce(1)),
-        lambda: cat.stage_overwrite_parts(
-            "page_cache", cache_next, "part_id", touched
-        ),
+        cache_job,
         lambda: cat.stage_append("extracted", extracted_new),
         # lineage/neg_cache are ≤ P rows by construction — one file,
         # one task, instead of shuffle-partition-many empty files
         lambda: cat.stage_append("lineage", lin.coalesce(1)),
     ]
     if cfg.follow_links and ins_parts:  # nothing new discovered → no-op
-        jobs.append(
-            # bare 8-byte hashes: a handful of files is plenty, and the
-            # driver-side commit cost is per file
-            lambda: cat.stage_append(
-                "seen_exact", inserted.select("url_hash").coalesce(8)
+        if not cfg.state_deltas:
+            jobs.append(
+                # bare 8-byte hashes: a handful of files is plenty, and
+                # the driver-side commit cost is per file. (In delta
+                # mode seen_exact comes for free — a manifest reference
+                # to the frontier delta files, added after the pool.)
+                lambda: cat.stage_append(
+                    "seen_exact", inserted.select("url_hash").coalesce(8)
+                )
             )
-        )
         jobs.append(
             lambda: cat.stage_overwrite_parts(
                 "seen_set",
@@ -391,15 +430,35 @@ def run_epoch(
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         for f in [pool.submit(j) for j in jobs]:
             f.result()
-    if (
-        cfg.frontier_deltas
-        and cat.delta_count("frontier") >= cfg.frontier_compact_every
-    ):
-        # fold deltas into base bucket files inside this transaction —
-        # bounds read fan-in and the broadcast key-set at N epoch deltas
-        cat.compact("frontier")
+    if cfg.state_deltas:
+        if ins_parts:
+            # seen_exact ⊇ frontier membership and frontier rows are
+            # never deleted → the just-written frontier delta (which
+            # contains every inserted row's url_hash, plus harmless
+            # already-seen duplicates) IS this epoch's seen_exact
+            # append. Zero extra bytes written, one fewer write job.
+            cat.stage_append_ref(
+                "seen_exact", cat.staged_delta_rels("frontier")[-1:]
+            )
+        # fold deltas into base bucket files inside this transaction
+        # when either bound trips: file-set count (read fan-in) or
+        # accumulated delta rows (resolve key-set / broadcast size)
+        for tbl in ("frontier", "page_cache", "politeness"):
+            if (
+                cat.delta_count(tbl) >= cfg.compact_every
+                or cat.delta_row_count(tbl) >= cfg.compact_delta_rows
+            ):
+                cat.compact(tbl)
+                if tbl == "frontier":
+                    # membership ≡ the compacted frontier: swap
+                    # seen_exact to reference exactly those bucket
+                    # files — stays O(table) refs, never grows stale
+                    cat.stage_append_ref(
+                        "seen_exact",
+                        cat.staged_part_rels("frontier"),
+                        replace=True,
+                    )
     _mark("writes")
-    staged_frontier = cat.read_staged("frontier")
 
     stats = {
         "epoch": e,
@@ -411,7 +470,9 @@ def run_epoch(
     }
     if cfg.collect_stats:
         stats["n_granted"] = granted.count()
-        stats["frontier_size"] = staged_frontier.count()
+        fs = cat.row_count("frontier")  # manifest counters: O(1), no job
+        if fs is not None:
+            stats["frontier_size"] = fs
     cat.commit(epoch=e)
     for df in (sl, bucketed, bucketed_raw, fetched, extracted_new, hashed, inserted):
         if df is not None:

@@ -35,13 +35,44 @@ _MANIFEST = "manifest.json"
 # Tables that support merge-on-read delta commits: key column whose
 # latest version wins at read time. An epoch appends O(changed-rows)
 # delta files instead of rewriting O(table) partition snapshots; reads
-# resolve base-vs-delta with a BROADCAST anti-join on the (small) delta
-# key set, so the base scan keeps its filter pushdown and no O(table)
-# shuffle is added. Compaction folds deltas back into partition files.
-MERGE_KEYS = {"frontier": "url_hash"}
+# resolve base-vs-delta with an anti-join on the (small) delta key set —
+# broadcast while the accumulated key count stays under
+# BROADCAST_DELTA_MAX_ROWS (manifest row counts, no job), plain
+# anti-join past it — so the base scan keeps its filter pushdown and no
+# O(table) shuffle is added. Compaction folds deltas back into
+# partition files. All three keyed read-modify-write state tables merge
+# this way: at 10^10 with every bucket fetched each epoch, a partition
+# overwrite of ANY of them rewrites O(table).
+MERGE_KEYS = {
+    "frontier": "url_hash",
+    "page_cache": "url_hash",
+    "politeness": "host",
+}
+
+
+def _dir_row_count(absdir: str) -> int:
+    """Total rows under a version directory from parquet footers —
+    driver-side metadata reads (no Spark job), O(files)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root_, _dirs, files in os.walk(absdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root_, fn)
+                ).metadata.num_rows
+    return total
 
 
 class IcebergLike:
+    # Force-broadcast the delta key set only while it provably fits:
+    # past this many accumulated delta rows (manifest counts — the
+    # upper bound on distinct keys) the resolve anti-join runs plain
+    # and Spark/AQE picks the strategy. 4M 8-byte keys ≈ tens of MB
+    # broadcast; unbounded accumulation at 10^10 would OOM the driver.
+    BROADCAST_DELTA_MAX_ROWS = 4_000_000
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -75,15 +106,23 @@ class IcebergLike:
             return list(entry["parts"].values()) + list(entry.get("deltas", []))
         return list(entry.get("paths", []))
 
+    # Tables whose file sets may REFERENCE another table's version dirs
+    # (stage_append_ref) — read with an explicit schema so the scan
+    # projects just this table's columns out of superset-schema files.
+    _PROJECTED_TABLES = frozenset({"seen_exact"})
+
     def _read_rels(self, name: str, rels: list[str]) -> DataFrame:
         if not rels:
             schema = schemas.ALL_TABLES.get(name)
             if schema is None:
                 raise KeyError(f"unknown table {name!r} with no snapshot")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, p) for p in rels]
-        )
+        paths = [os.path.join(self.root, p) for p in rels]
+        if name in self._PROJECTED_TABLES:
+            return self.spark.read.schema(schemas.ALL_TABLES[name]).parquet(
+                *paths
+            )
+        return self.spark.read.parquet(*paths)
 
     def _delta_latest(self, name: str, entry: dict[str, Any]) -> DataFrame:
         """Latest version of every key present in any delta file of
@@ -112,22 +151,50 @@ class IcebergLike:
             .select(*cols)
         )
 
-    def _resolve(self, name: str, base: DataFrame, latest: DataFrame) -> DataFrame:
+    def _resolve(
+        self,
+        name: str,
+        base: DataFrame,
+        latest: DataFrame,
+        delta_rows: int | None = None,
+    ) -> DataFrame:
         """Merge-on-read: a base row survives unless its key appears in
-        a delta. The delta key set is small (epoch change sets), so the
-        invalidation is a BROADCAST anti-join — predicates still push
-        into the base parquet scan, and no O(table) shuffle happens."""
+        a delta. While the accumulated delta key set is provably small
+        (``delta_rows`` from manifest counts ≤ BROADCAST_DELTA_MAX_ROWS)
+        the invalidation is a forced BROADCAST anti-join — predicates
+        still push into the base parquet scan and no O(table) shuffle
+        happens. Past the bound (or with no count available) the join
+        runs unhinted so a huge key set can't OOM the driver."""
         from pyspark.sql import functions as F
 
         key = MERGE_KEYS[name]
-        return base.join(
-            F.broadcast(latest.select(key)), key, "left_anti"
-        ).unionByName(latest.select(*base.columns))
+        keys = latest.select(key)
+        if delta_rows is not None and delta_rows <= self.BROADCAST_DELTA_MAX_ROWS:
+            keys = F.broadcast(keys)
+        return (
+            base.join(keys, key, "left_anti")
+            .select(*base.columns)  # USING-join moves the key first
+            .unionByName(latest.select(*base.columns))
+        )
+
+    @staticmethod
+    def _entry_delta_rows(entry: dict[str, Any]) -> int | None:
+        """Accumulated delta row count of an entry (None on a legacy
+        manifest missing counts)."""
+        counts = entry.get("delta_rows")
+        if counts is None or len(counts) != len(entry.get("deltas", [])):
+            return None
+        return int(sum(counts))
 
     def _read_entry(self, name: str, entry: dict[str, Any] | None) -> DataFrame:
         if entry and entry.get("deltas"):
             base = self._read_rels(name, list(entry["parts"].values()))
-            return self._resolve(name, base, self._delta_latest(name, entry))
+            return self._resolve(
+                name,
+                base,
+                self._delta_latest(name, entry),
+                self._entry_delta_rows(entry),
+            )
         rels = self._entry_paths(entry) if entry else []
         return self._read_rels(name, rels)
 
@@ -157,7 +224,9 @@ class IcebergLike:
             latest = self._delta_latest(name, entry).filter(
                 F.col(part_col).isin(list(parts))
             )
-            return self._resolve(name, base, latest)
+            return self._resolve(
+                name, base, latest, self._entry_delta_rows(entry)
+            )
         return base
 
     def read_staged(self, name: str) -> DataFrame:
@@ -179,12 +248,13 @@ class IcebergLike:
         return rel, os.path.join(self.root, rel)
 
     def stage_overwrite(self, name: str, df: DataFrame) -> None:
-        """Write a full replacement snapshot for ``name`` (frontier,
-        seen_set, politeness — the read-modify-write state tables)."""
+        """Write a full replacement snapshot for ``name`` (the small
+        whole-table state tables, e.g. neg_cache)."""
         rel, absdir = self._new_version_dir(name)
         df.write.mode("overwrite").parquet(absdir)
         self._staged[name] = {
             "paths": [rel],
+            "path_rows": [_dir_row_count(absdir)],
             "next_version": int(rel.rsplit("v", 1)[1]) + 1,
         }
 
@@ -227,6 +297,7 @@ class IcebergLike:
                 "touched_parts covering every delta row's partition)"
             )
         parts = dict(prev.get("parts", {}))
+        part_rows = dict(prev.get("part_rows", {}))
         next_version = prev.get("next_version", 1)
         if touched:
             rel, absdir = self._new_version_dir(name)
@@ -249,12 +320,28 @@ class IcebergLike:
                 pdir = os.path.join(absdir, f"_pid={p}")
                 if os.path.isdir(pdir):
                     parts[str(p)] = os.path.join(rel, f"_pid={p}")
+                    part_rows[str(p)] = _dir_row_count(pdir)
                 else:
                     parts.pop(str(p), None)  # partition emptied
+                    part_rows.pop(str(p), None)
             next_version = int(rel.rsplit("v", 1)[1]) + 1
-        self._staged[name] = {"parts": parts, "next_version": next_version}
+        # exact key count while every live partition has a footer count
+        # (keyed tables hold one row per key); None on legacy carry-over
+        key_count = (
+            sum(part_rows.values())
+            if set(part_rows) >= set(parts)
+            else None
+        )
+        self._staged[name] = {
+            "parts": parts,
+            "part_rows": part_rows,
+            "key_count": key_count,
+            "next_version": next_version,
+        }
 
-    def stage_append_delta(self, name: str, df: DataFrame) -> None:
+    def stage_append_delta(
+        self, name: str, df: DataFrame, n_new_keys: int | None = None
+    ) -> None:
         """Merge-on-read upsert commit (the Iceberg/Delta MERGE shape at
         its cheapest): append ONE file set holding only this epoch's
         changed rows. Write cost is O(changed), not O(table) — the shape
@@ -262,6 +349,11 @@ class IcebergLike:
         overwrite still rewrites every bucket the epoch dequeued from.
         Reads resolve newest-key-wins (see ``_resolve``); ``compact``
         folds deltas back into partition files to bound read fan-in.
+
+        ``n_new_keys``: how many delta rows carry keys NOT yet in the
+        table (the rest update in place) — keeps ``row_count`` exact
+        with zero jobs; omit if unknown (size becomes unknown until the
+        next compaction recounts it from footers).
         """
         if name not in MERGE_KEYS:
             raise KeyError(f"no merge key registered for table {name!r}")
@@ -273,17 +365,103 @@ class IcebergLike:
             )
         rel, absdir = self._new_version_dir(name)
         df.write.mode("overwrite").parquet(absdir)
+        n = _dir_row_count(absdir)
+        prev_dr = prev.get("delta_rows")
+        prev_kc = prev.get("key_count")
         self._staged[name] = {
             "parts": dict(prev.get("parts", {})),
+            "part_rows": dict(prev.get("part_rows", {})),
             "deltas": list(prev.get("deltas", [])) + [rel],
+            "delta_rows": (
+                list(prev_dr or []) + [n]
+                if prev_dr is not None or not prev.get("deltas")
+                else None  # legacy deltas without counts stay unknown
+            ),
+            # delta keys already in the table update in place; only the
+            # caller knows how many are genuinely new (e.g. the epoch's
+            # inserted count) — without it the exact size becomes unknown
+            "key_count": (
+                prev_kc + n_new_keys
+                if prev_kc is not None and n_new_keys is not None
+                else None
+            ),
             "next_version": int(rel.rsplit("v", 1)[1]) + 1,
         }
 
+    def stage_append_ref(
+        self, name: str, rels: list[str], replace: bool = False
+    ) -> None:
+        """Append (or with ``replace=True`` substitute) EXISTING version
+        directories — written while staging another table this
+        transaction, or already committed — as ``name``'s file set, by
+        manifest reference: zero data written. The files may carry a
+        superset schema; ``name`` must be in ``_PROJECTED_TABLES`` so
+        reads project it down. Used to derive ``seen_exact`` from the
+        frontier's files (frontier rows are never deleted, so any
+        frontier row's url_hash is 'seen'; duplicate hashes are harmless
+        to membership anti/semi-joins): per epoch, append the frontier
+        delta; at compaction, replace with the compacted bucket files so
+        seen_exact stays bounded at O(table) references forever."""
+        if name not in self._PROJECTED_TABLES:
+            raise KeyError(
+                f"table {name!r} is not schema-projected; a by-reference "
+                "append would leak the source table's schema into reads"
+            )
+        prev = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        if "parts" in prev:
+            raise ValueError(f"table {name!r} is parts-form; refs need paths")
+        rows = [_dir_row_count(os.path.join(self.root, r)) for r in rels]
+        paths = [] if replace else list(prev.get("paths", []))
+        prev_pr = [] if replace else prev.get("path_rows")
+        self._staged[name] = {
+            "paths": paths + list(rels),
+            "path_rows": (
+                list(prev_pr or []) + rows
+                if prev_pr is not None or not paths
+                else None
+            ),
+            "next_version": prev.get("next_version", 1),
+        }
+
+    def staged_delta_rels(self, name: str) -> list[str]:
+        """Pending delta file-set rel paths (staged view)."""
+        entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        return list(entry.get("deltas", []))
+
+    def staged_part_rels(self, name: str) -> list[str]:
+        """Current partition file rel paths (staged view)."""
+        entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        return list(entry.get("parts", {}).values())
+
     def delta_count(self, name: str) -> int:
         """Number of pending delta file sets (staged view) — the
-        compaction trigger."""
+        read-fan-in compaction trigger."""
         entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
         return len(entry.get("deltas", []))
+
+    def delta_row_count(self, name: str) -> int:
+        """Accumulated pending delta rows (staged view, manifest footer
+        counts — no job). Upper bound on the resolve key-set size; the
+        row-volume compaction trigger. 0 when unknown (legacy)."""
+        entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        return self._entry_delta_rows(entry) or 0
+
+    def row_count(self, name: str) -> int | None:
+        """Exact table size from manifest bookkeeping — O(1), no job.
+
+        Keyed (parts-form) tables: ``key_count`` (footer sums, kept
+        exact across delta commits via the caller-supplied new-key
+        count). Paths-form tables: sum of per-file-set counts. None when
+        a legacy manifest predates the counters."""
+        entry = self._staged.get(name) or self.manifest["tables"].get(name)
+        if entry is None:
+            return 0
+        if "parts" in entry:
+            return entry.get("key_count")
+        pr = entry.get("path_rows")
+        if pr is None or len(pr) != len(entry.get("paths", [])):
+            return None
+        return int(sum(pr))
 
     def compact(self, name: str, part_col: str = "part_id") -> list[int]:
         """Fold pending deltas into partition-level base files.
@@ -297,6 +475,7 @@ class IcebergLike:
         entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
         if not entry.get("deltas"):
             return []
+        delta_rows = self._entry_delta_rows(entry)
         latest = self._delta_latest(name, entry).persist()
         try:
             dparts = sorted(
@@ -308,7 +487,7 @@ class IcebergLike:
             base = self._read_rels(name, rels) if rels else (
                 self.spark.createDataFrame([], schemas.ALL_TABLES[name])
             )
-            resolved = self._resolve(name, base, latest)
+            resolved = self._resolve(name, base, latest, delta_rows)
             self.stage_overwrite_parts(
                 name, resolved, part_col, dparts, clear_deltas=True
             )
@@ -321,11 +500,16 @@ class IcebergLike:
         the append-only fact tables)."""
         rel, absdir = self._new_version_dir(name)
         df.write.mode("overwrite").parquet(absdir)
-        prev = self._staged.get(name, {}).get("paths")
-        if prev is None:
-            prev = list(self.manifest["tables"].get(name, {}).get("paths", []))
+        prev = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        paths = list(prev.get("paths", []))
+        prev_pr = prev.get("path_rows")
         self._staged[name] = {
-            "paths": prev + [rel],
+            "paths": paths + [rel],
+            "path_rows": (
+                list(prev_pr or []) + [_dir_row_count(absdir)]
+                if prev_pr is not None or not paths
+                else None  # legacy appends without counts stay unknown
+            ),
             "next_version": int(rel.rsplit("v", 1)[1]) + 1,
         }
 
@@ -354,11 +538,17 @@ class IcebergLike:
         self._staged = {}
 
     def rollback_staged(self) -> None:
-        """Drop staged (uncommitted) writes — crash-recovery analogue."""
-        for name, entry in self._staged.items():
-            committed = set(
-                self._entry_paths(self.manifest["tables"].get(name, {}))
+        """Drop staged (uncommitted) writes — crash-recovery analogue.
+
+        The survivor set spans ALL tables' committed paths: a staged
+        by-reference entry (stage_append_ref) may point at files that
+        are committed under their owning table."""
+        committed: set[str] = set()
+        for cname in self.manifest["tables"]:
+            committed |= set(
+                self._entry_paths(self.manifest["tables"].get(cname, {}))
             )
+        for _name, entry in self._staged.items():
             for rel in self._entry_paths(entry):
                 p = os.path.join(self.root, rel)
                 if os.path.exists(p) and rel not in committed:

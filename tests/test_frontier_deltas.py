@@ -31,9 +31,10 @@ from hiispider_spark.schemas import FRONTIER
 from hiispider_spark.sources.catalog import IcebergLike
 
 CFG = EpochConfig(
-    k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17, epoch_seconds=60.0
+    k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17,
+    epoch_seconds=60.0, state_deltas=False,
 )
-DELTA_CFG = replace(CFG, frontier_deltas=True, frontier_compact_every=100)
+DELTA_CFG = replace(CFG, state_deltas=True, compact_every=100)
 
 
 def _mk_cat(spark, seeds, cfg, prefix):
@@ -97,10 +98,69 @@ def test_delta_epoch_writes_only_delta(spark, two_cats, tiny_pages, tiny_robots)
     assert 0 < dl.count() < mor.read("frontier").count()
 
 
+def test_all_state_tables_delta_commit(spark, two_cats, tiny_pages, tiny_robots):
+    """page_cache and politeness get the same merge-on-read treatment
+    as the frontier: a delta epoch appends one delta per table, leaves
+    every base bucket untouched, and reads resolve identically to the
+    overwrite twin."""
+    ow, mor = two_cats
+    for _ in range(2):
+        run_epoch(spark, ow, tiny_pages, tiny_robots, CFG)
+        before = {t: _manifest_entry(mor, t) if t in
+                  json.load(open(os.path.join(mor.root, "manifest.json")))["tables"]
+                  else None
+                  for t in ("page_cache", "politeness")}
+        run_epoch(spark, mor, tiny_pages, tiny_robots, DELTA_CFG)
+        for t in ("page_cache", "politeness"):
+            after = _manifest_entry(mor, t)
+            if before[t] is not None:
+                assert after["parts"] == before[t]["parts"], t
+                assert len(after.get("deltas", [])) == len(
+                    before[t].get("deltas", [])
+                ) + 1, t
+    for t in ("page_cache", "politeness"):
+        key = "url_hash" if t == "page_cache" else "host"
+        a = {tuple(r) for r in ow.read(t).collect()}
+        b = {tuple(r) for r in mor.read(t).collect()}
+        assert a == b, t
+        # newest-wins resolution: one row per key
+        n_keys = mor.read(t).select(key).distinct().count()
+        assert mor.read(t).count() == n_keys, t
+
+
+def test_seen_exact_by_reference(spark, two_cats, tiny_pages, tiny_robots):
+    """In delta mode seen_exact is manifest references into frontier
+    files (zero extra bytes written) — membership must still equal the
+    overwrite twin's materialized seen_exact after epochs + compaction."""
+    ow, mor = two_cats
+    compact_cfg = replace(DELTA_CFG, compact_every=2)
+    for _ in range(3):
+        run_epoch(spark, ow, tiny_pages, tiny_robots, CFG)
+        run_epoch(spark, mor, tiny_pages, tiny_robots, compact_cfg)
+    a = {r.url_hash for r in ow.read("seen_exact").collect()}
+    b = {r.url_hash for r in mor.read("seen_exact").collect()}
+    assert a == b
+    # every referenced path belongs to the frontier's directory tree
+    entry = _manifest_entry(mor, "seen_exact")
+    assert entry["paths"]
+    assert all(p.startswith("frontier/") for p in entry["paths"])
+
+
+def test_row_count_from_manifest(spark, two_cats, tiny_pages, tiny_robots):
+    """catalog.row_count is exact with zero jobs in BOTH commit modes."""
+    ow, mor = two_cats
+    for _ in range(2):
+        st_ow = run_epoch(spark, ow, tiny_pages, tiny_robots, CFG)
+        st_mor = run_epoch(spark, mor, tiny_pages, tiny_robots, DELTA_CFG)
+        assert st_ow["frontier_size"] == ow.read("frontier").count()
+        assert st_mor["frontier_size"] == mor.read("frontier").count()
+        assert st_ow["frontier_size"] == st_mor["frontier_size"]
+
+
 def test_compaction_preserves_state_and_clears_deltas(
     spark, tiny_seeds, tiny_pages, tiny_robots
 ):
-    compact_cfg = replace(DELTA_CFG, frontier_compact_every=2)
+    compact_cfg = replace(DELTA_CFG, compact_every=2)
     a = _mk_cat(spark, tiny_seeds, DELTA_CFG, "fd_nc_")
     b = _mk_cat(spark, tiny_seeds, compact_cfg, "fd_c_")
     try:
