@@ -401,13 +401,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_profile"] = q_text_profile
 
-    def q_bpe_token_count(spark, sf):  # no SQL oracle (trained merges)
+    def q_bpe_token_count(spark, sf):
         # deterministic corpus-trained BPE: one pass for word-type
-        # freqs, driver-side merge training, broadcast type→count join
+        # freqs, driver-side merge training, broadcast type→count join.
+        # n_merges=10 leaves segmentation PARTIAL (per-word counts 1–5
+        # on the sf0.01 corpus), so the oracle — which freezes the
+        # deterministic trained (word → n_tok) table as a literal CTE —
+        # actually discriminates: a broken trainer/segmenter changes
+        # the counts. (More merges fully fuse this tiny 31-type vocab
+        # and would reduce the check to whitespace word counting.)
         from hiispider_spark.operators import bpe
 
         docs = _docs(spark, sf)
-        merges, word_freqs = bpe.train_bpe(docs, "text", n_merges=100)
+        merges, word_freqs = bpe.train_bpe(docs, "text", n_merges=10)
         return bpe.bpe_token_count(
             docs, "doc_id", "text", merges, list(word_freqs)
         )
@@ -943,6 +949,35 @@ WHERE round(
     list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(a.embedding, b.embedding)])
     / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN a.embedding]))
       * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN b.embedding])) ), 6) >= 0.3"""
+
+    # BPE counting-stage twin: training is deterministic (frequency-
+    # ordered merges, lexicographic ties), so on the fixed sf0.01 corpus
+    # the trained (word → n_tok) table is a CONSTANT — frozen here as a
+    # literal CTE (derived once by running bpe.train_bpe_merges +
+    # segment_count over the corpus's 31 word types with n_merges=10;
+    # see q_bpe_token_count). The oracle then checks the distributed
+    # counting stage (lowercase → split → explode → broadcast join →
+    # per-doc sum with char-count fallback) value-for-value.
+    _bpe_wc = (
+        "('a',1),('agg',3),('batch',4),('big',3),('column',5),"
+        "('customer',5),('data',3),('dup',3),('fast',3),('filter',5),"
+        "('group',5),('hash',4),('join',3),('key',3),('line',3),"
+        "('merge',3),('order',3),('part',2),('query',4),('row',2),"
+        "('scan',4),('slow',3),('small',5),('sort',3),('spark',3),"
+        "('stream',5),('table',5),('the',3),('value',4),('vector',5),"
+        "('window',4)"
+    )
+    o["bpe_token_count"] = f"""
+WITH wc(w, n_tok) AS (VALUES {_bpe_wc}),
+words AS (
+  SELECT doc_id,
+         unnest([x FOR x IN string_split(lower(text), ' ') IF x <> '']) AS w
+  FROM documents
+)
+SELECT words.doc_id,
+       CAST(sum(coalesce(wc.n_tok, length(words.w))) AS BIGINT) AS n_bpe_tokens
+FROM words LEFT JOIN wc ON words.w = wc.w
+GROUP BY words.doc_id"""
 
     # embedding near-dup LSH twin: the planted-twin corpus is mirrored
     # in SQL (same splitmix-free perturbation formula); the oracle skips
