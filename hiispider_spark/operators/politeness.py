@@ -44,13 +44,28 @@ DEFAULT_CRAWL_DELAY = 1.0
 
 
 def robots_deny_col(rules_col, path_col_):
-    """True iff any disallow rule's prefix matches the path (O-9n).
+    """True iff the path is denied under REP precedence (O-9n): among
+    rules whose prefix matches the path, the LONGEST prefix wins and
+    Allow wins length ties (RFC 9309 / Google semantics); no matching
+    rule → allowed. On disallow-only rule sets (the synth corpus, and
+    any pre-Allow robots) this reduces to "any disallow matches" — the
+    oracle twins stay valid.
 
     Pure Column expression → WholeStageCodegen, no Python.
     """
-    return F.exists(
-        rules_col, lambda r: (~r["allow"]) & path_col_.startswith(r["prefix"])
+    matching = F.filter(
+        rules_col, lambda r: path_col_.startswith(r["prefix"])
     )
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return F.when(F.size(matching) > 0, best["a"] == 0).otherwise(F.lit(False))
 
 
 def split_robots(slice_df: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
