@@ -8,11 +8,15 @@ deterministically from the driver's ``lineitem``/``documents`` views by
 :mod:`hiispider_spark.sources.synth`, whose rules are mirrored SQL-side
 by ``oracle_ctes()`` — so crawl operators get real value-level oracles.
 
-Non-SQL-expressible ops (SipHash identity, bloom bytes, MinHash/SimHash
-band hashing via xxhash64, IVF ANN, multimodal featurization, the
-stateful epoch loop) appear in ``queries()`` without an oracle entry →
-the driver records rows-only checks; their exact semantics are covered
-by `python -m pytest -x -q` instead (tests/golden/).
+Non-SQL-expressible ops (SipHash identity, bloom bytes, the xxhash64
+fast paths of MinHash/SimHash banding, IVF ANN, multimodal
+featurization, the stateful epoch loop) appear in ``queries()`` without
+an oracle entry → the driver records rows-only checks; their exact
+semantics are covered by `python -m pytest -x -q` instead
+(tests/golden/). Each xxhash64 LSH family also ships an engine-portable
+twin (``dedup_minhash_portable``, ``dedup_simhash_portable``) whose
+full pipeline IS value-oracle-checked, and the hyperplane LSH + BPE
+counting queries carry value oracles directly.
 """
 
 from __future__ import annotations

@@ -25,8 +25,11 @@ from hiispider_spark.operators.frontier import build_frontier
 from hiispider_spark.plans.epoch import EpochConfig, bootstrap, run_epoch
 from hiispider_spark.sources.catalog import IcebergLike
 
+# these guards pin the partition-OVERWRITE commit shape; the (default)
+# delta mode's write-amplification guards live in test_frontier_deltas
 CFG = EpochConfig(
-    k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17, epoch_seconds=60.0
+    k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17,
+    epoch_seconds=60.0, state_deltas=False,
 )
 FAR = "2030-01-01 00:00:00"
 
