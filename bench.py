@@ -187,7 +187,12 @@ def run_crawl(
                 te = time.time()
                 st = run_epoch(spark, cat, pages, robots, cfg)
                 epoch_walls.append(round(time.time() - te, 2))
-                phase_walls.append(st.get("phase_walls", {}))
+                phase_walls.append(
+                    {
+                        **st.get("phase_walls", {}),
+                        "writes_detail": st.get("write_walls", {}),
+                    }
+                )
                 total_urls += st["n_extracted"]
             wall = time.time() - t0
             runs.append(

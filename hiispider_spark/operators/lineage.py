@@ -26,7 +26,9 @@ def build_lineage(
 
     Each input aggregates independently (partial aggregation map-side),
     then the tiny per-partition summaries full-outer-join — never a
-    shuffle of row-level data.
+    shuffle of row-level data. ``fetched`` carries a precomputed
+    ``html_len`` column (the epoch's narrow fetch-metadata cache) so
+    this aggregation never touches the html-bearing wide rows.
     """
 
     def per_part(df: DataFrame, col: str, extra=None) -> DataFrame:
@@ -36,7 +38,7 @@ def build_lineage(
         return df.groupBy("part_id").agg(*aggs)
 
     d = per_part(dequeued, "n_dequeued")
-    f = per_part(fetched, "n_fetched", F.sum(F.length("html")).alias("bytes"))
+    f = per_part(fetched, "n_fetched", F.sum("html_len").alias("bytes"))
     e = per_part(extracted_with_part, "n_extracted")
     x = per_part(failed, "n_errors")
 

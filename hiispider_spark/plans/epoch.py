@@ -210,10 +210,23 @@ def run_epoch(
     fetched = with_content_sha1(fetched).persist(StorageLevel.DISK_ONLY)
     n_fetched = fetched.count()
     _mark("fetch")
-    # failed re-derived from the PERSISTED frame — the tuple's own
+    # narrow twin of the fetch result: requeue/failed/lineage/page-cache
+    # only need frontier columns + digest + length — reading those
+    # through the html-bearing DISK_ONLY cache re-scans ~KB-wide rows
+    # once PER CONSUMER (measured as the write phase's hidden cost);
+    # a slim in-memory projection is scanned instead
+    fetched_meta = fetched.select(
+        *FRONTIER_COLS, "content_sha1", F.length("html").alias("html_len")
+    ).persist()
+    # failed re-derived from PERSISTED frames — the tuple's own
     # anti-join references the pre-persist plan and would run the
-    # broadcast join against the page store a second time
-    failed = granted.join(fetched.select("url"), "url", "left_anti")
+    # broadcast join against the page store a second time. Persisted
+    # itself: three downstream jobs (frontier backoff, lineage,
+    # neg_cache) would otherwise each recompute the anti-join.
+    failed = granted.join(
+        fetched_meta.select("url"), "url", "left_anti"
+    ).persist()
+    failed.count()  # one job materializes failed AND fetched_meta
     # conditional GET against the compact page_cache state table —
     # O(slice) per epoch (only touched buckets' cache files open),
     # never a scan+aggregate of the ever-growing extracted history
@@ -278,7 +291,7 @@ def run_epoch(
     else:
         n_inserted = 0
 
-    requeued = requeue_fetched(fetched.select(*FRONTIER_COLS), ts)
+    requeued = requeue_fetched(fetched_meta.select(*FRONTIER_COLS), ts)
     backoff = requeue_failed(failed.select(*FRONTIER_COLS), ts)
     touched_all = sorted(set(touched) | set(ins_parts))
     if cfg.state_deltas:
@@ -334,7 +347,9 @@ def run_epoch(
         # read, no per-table parts collect.
         cache_job = lambda: cat.stage_append_delta(  # noqa: E731
             "page_cache",
-            fetched.select("part_id", "url_hash", "content_sha1").coalesce(8),
+            fetched_meta.select(
+                "part_id", "url_hash", "content_sha1"
+            ).coalesce(8),
         )
         politeness_job = lambda: cat.stage_append_delta(  # noqa: E731
             "politeness", new_state.coalesce(1)
@@ -342,11 +357,11 @@ def run_epoch(
     else:
         # fetched rows replace their digests, the rest of the touched
         # buckets carry; untouched buckets never open
-        cache_next = fetched.select(
+        cache_next = fetched_meta.select(
             "part_id", "url_hash", "content_sha1"
         ).unionByName(
             cat.read_parts("page_cache", touched).join(
-                fetched.select("url_hash"), "url_hash", "left_anti"
+                fetched_meta.select("url_hash"), "url_hash", "left_anti"
             )
         )
         cache_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
@@ -368,7 +383,7 @@ def run_epoch(
         )
 
     # lineage (per-bucket metrics) — extraction carries part_id through
-    lin = build_lineage(sl, fetched, extracted_new, failed, e, ts)
+    lin = build_lineage(sl, fetched_meta, extracted_new, failed, e, ts)
 
     # stage + atomic commit. The table writes are independent given the
     # persisted intermediates, so they run as concurrent Spark jobs from
@@ -394,14 +409,14 @@ def run_epoch(
             "frontier", new_frontier, "part_id", touched_all
         )
     jobs = [
-        frontier_job,
-        politeness_job,
-        lambda: cat.stage_overwrite("neg_cache", neg_next.coalesce(1)),
-        cache_job,
-        lambda: cat.stage_append("extracted", extracted_new),
+        ("frontier", frontier_job),
+        ("politeness", politeness_job),
+        ("neg_cache", lambda: cat.stage_overwrite("neg_cache", neg_next.coalesce(1))),
+        ("page_cache", cache_job),
+        ("extracted", lambda: cat.stage_append("extracted", extracted_new)),
         # lineage/neg_cache are ≤ P rows by construction — one file,
         # one task, instead of shuffle-partition-many empty files
-        lambda: cat.stage_append("lineage", lin.coalesce(1)),
+        ("lineage", lambda: cat.stage_append("lineage", lin.coalesce(1))),
     ]
     if cfg.follow_links and ins_parts:  # nothing new discovered → no-op
         if not cfg.state_deltas:
@@ -410,12 +425,12 @@ def run_epoch(
                 # the driver-side commit cost is per file. (In delta
                 # mode seen_exact comes for free — a manifest reference
                 # to the frontier delta files, added after the pool.)
-                lambda: cat.stage_append(
+                ("seen_exact", lambda: cat.stage_append(
                     "seen_exact", inserted.select("url_hash").coalesce(8)
-                )
+                ))
             )
         jobs.append(
-            lambda: cat.stage_overwrite_parts(
+            ("seen_set", lambda: cat.stage_overwrite_parts(
                 "seen_set",
                 seen_ops.merge_partition_blooms(
                     cat.read_parts("seen_set", ins_parts, "partition_id"),
@@ -424,11 +439,18 @@ def run_epoch(
                 ),
                 "partition_id",
                 ins_parts,
-            )
+            ))
         )
     _mark("plan_writes")
+    write_walls: dict[str, float] = {}
+
+    def _timed(name: str, job) -> None:
+        t0 = time.time()
+        job()
+        write_walls[name] = round(time.time() - t0, 2)
+
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        for f in [pool.submit(j) for j in jobs]:
+        for f in [pool.submit(_timed, n, j) for n, j in jobs]:
             f.result()
     if cfg.state_deltas:
         if ins_parts:
@@ -467,6 +489,7 @@ def run_epoch(
         "n_fetched": n_fetched,
         "n_extracted": n_extracted,
         "phase_walls": walls,
+        "write_walls": write_walls,
     }
     if cfg.collect_stats:
         stats["n_granted"] = granted.count()
@@ -474,7 +497,10 @@ def run_epoch(
         if fs is not None:
             stats["frontier_size"] = fs
     cat.commit(epoch=e)
-    for df in (sl, bucketed, bucketed_raw, fetched, extracted_new, hashed, inserted):
+    for df in (
+        sl, bucketed, bucketed_raw, fetched, fetched_meta, failed,
+        extracted_new, hashed, inserted,
+    ):
         if df is not None:
             df.unpersist()
     return stats
