@@ -434,7 +434,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup"] = q_embedding_near_dup
 
-    def q_ann_ivf_topk(spark, sf):  # no SQL oracle (approximate path)
+    def q_ann_ivf_topk(spark, sf):
+        # stride quantizer + n_probe=1: the whole IVF pipeline (argmax
+        # assignment at 6dp, bucket-restricted scan, ranked top-k) is
+        # deterministic and SQL-expressible → full value oracle
         return sim.ivf_topk(_emb(spark, sf), list(range(10)), k=5)
 
     q["ann_ivf_topk"] = q_ann_ivf_topk
@@ -937,6 +940,52 @@ scored AS (
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+    # IVF ANN twin: stride centroids (vec_id % 50 == 0), argmax
+    # assignment mirrored as a rank-1 window over rounded sims (sim
+    # DESC, centroid_id ASC — the same (sim, -id) struct-max tie-break
+    # the Spark literal-centroid expression uses), then the bucket-
+    # restricted exact top-k.
+    _cos_ec = """(
+    list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(e.embedding, c.cv)])
+    / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding]))
+      * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN c.cv])) ))"""
+    _cos_qc2 = """(
+    list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip(q.qe, c2.ce)])
+    / ( sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.qe]))
+      * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN c2.ce])) ))"""
+    o["ann_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0
+),
+assign_ranked AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({_cos_ec}, 6) DESC, c.cid ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, cid FROM assign_ranked WHERE rn = 1),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, a.cid AS q_cent
+  FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id < 10
+),
+c2 AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS ce, a.cid AS c_cent
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+scored AS (
+  SELECT q.query_id, c2.neighbor_id, round({_cos_qc2}, 6) AS cos_sim
+  FROM q JOIN c2 ON c2.c_cent = q.q_cent AND c2.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  ) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
