@@ -226,7 +226,10 @@ def run_epoch(
     failed = granted.join(
         fetched_meta.select("url"), "url", "left_anti"
     ).persist()
-    failed.count()  # one job materializes failed AND fetched_meta
+    # one job materializes failed AND fetched_meta; the count also
+    # closes the stats arithmetic (granted = fetched ⊎ failed), so
+    # stats-on costs zero extra jobs
+    n_failed = failed.count()
     # conditional GET against the compact page_cache state table —
     # O(slice) per epoch (only touched buckets' cache files open),
     # never a scan+aggregate of the ever-growing extracted history
@@ -492,8 +495,12 @@ def run_epoch(
         "write_walls": write_walls,
     }
     if cfg.collect_stats:
-        stats["n_granted"] = granted.count()
-        fs = cat.row_count("frontier")  # manifest counters: O(1), no job
+        # no jobs here: granted partitions into fetched ⊎ failed (the
+        # fetch join keeps granted rows that exist in the page store,
+        # failed is the anti-join remainder), and frontier_size comes
+        # from manifest footer counters
+        stats["n_granted"] = n_fetched + n_failed
+        fs = cat.row_count("frontier")
         if fs is not None:
             stats["frontier_size"] = fs
     cat.commit(epoch=e)
