@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from hiispider_spark.functions.canon import canonical_url_col, host_col, path_col
 from hiispider_spark.operators import dedup as dd
 from hiispider_spark.operators import politeness as pol
+from hiispider_spark.operators import quality as ql
 from hiispider_spark.operators import similarity as sim
 from hiispider_spark.operators import textstats as ts
 from hiispider_spark.operators.extract import (
@@ -423,6 +424,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bpe_token_count"] = q_bpe_token_count
+
+    # --- corpus-quality pipeline (quality.py), all full value oracles ---
+    def q_quality_gopher(spark, sf):
+        return ql.gopher_signals(_docs(spark, sf), "doc_id", "text")
+
+    q["quality_gopher"] = q_quality_gopher
+
+    def q_span_dedup(spark, sf):
+        # oracle variant keys the shuffle on the raw shingle string;
+        # production passes key_col=F.xxhash64 (same result set)
+        return ql.span_dup_frac(_docs(spark, sf), "doc_id", "text", n=7)
+
+    q["span_dedup"] = q_span_dedup
+
+    def q_pii_scrub(spark, sf):
+        # synthetic text carries no PII — plant a deterministic email +
+        # phone per doc_id (mirrored in the oracle) so the scrub
+        # actually discriminates
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact"),
+                F.col("doc_id"),
+                F.lit("@example.com call 555-"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ).alias("text"),
+        )
+        return ql.pii_scrub(docs, "doc_id", "text")
+
+    q["pii_scrub"] = q_pii_scrub
+
+    def q_stratified_sample(spark, sf):
+        rates = {"en": 800, "de": 600, "fr": 600, "es": 600, "zh": 300}
+        return ql.stratified_sample(
+            _docs(spark, sf), "doc_id", "lang", rates
+        ).select("doc_id", "lang", "source")
+
+    q["stratified_sample"] = q_stratified_sample
+
+    def q_source_cap(spark, sf):
+        return ql.source_cap(_docs(spark, sf), "doc_id", "text", k=5)
+
+    q["source_cap"] = q_source_cap
 
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
@@ -1031,6 +1077,115 @@ SELECT words.doc_id,
        CAST(sum(coalesce(wc.n_tok, length(words.w))) AS BIGINT) AS n_bpe_tokens
 FROM words LEFT JOIN wc ON words.w = wc.w
 GROUP BY words.doc_id"""
+
+    # --- corpus-quality twins (quality.py) ---
+    o["quality_gopher"] = f"""
+WITH base AS (
+  SELECT doc_id, [w FOR w IN string_split(text, ' ') IF w <> ''] AS toks
+  FROM documents
+),
+narrow AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+      AS frac_dup_words
+  FROM base
+),
+bg AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+  FROM base
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, round(2.0 * max(c) / sum(c), 6) AS top_bigram_frac
+  FROM cnt GROUP BY 1
+)
+SELECT n.doc_id, n.n_tokens, n.frac_dup_words,
+  coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac,
+  (n.n_tokens >= {ql.MIN_TOKENS}
+   AND n.frac_dup_words <= {ql.MAX_FRAC_DUP_WORDS}
+   AND coalesce(t.top_bigram_frac, 0.0) <= {ql.MAX_TOP_BIGRAM_FRAC}) AS keep
+FROM narrow n LEFT JOIN top t USING (doc_id)"""
+
+    o["span_dedup"] = """
+WITH base AS (
+  SELECT doc_id, [w FOR w IN string_split(text, ' ') IF w <> ''] AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+6], ' ')
+                 FOR i IN range(1, len(toks) - 5)]) AS k
+  FROM base
+),
+cnt AS (SELECT k, count(*) AS c FROM sh GROUP BY 1),
+per AS (
+  SELECT sh.doc_id, CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END AS dup
+  FROM sh JOIN cnt USING (k)
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(dup) AS BIGINT) AS n_dup_spans,
+       round(sum(dup) / count(*), 6) AS dup_frac
+FROM per GROUP BY doc_id"""
+
+    o["pii_scrub"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact' || CAST(doc_id AS VARCHAR)
+         || '@example.com call 555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' AS text
+  FROM documents
+),
+no_email AS (
+  SELECT doc_id,
+    regexp_replace(text, '{ql.EMAIL_RE}', '{ql.PII_MASK}', 'g') AS t,
+    CAST(len(regexp_extract_all(text, '{ql.EMAIL_RE}')) AS BIGINT) AS n_emails
+  FROM planted
+)
+SELECT doc_id,
+  regexp_replace(t, '{ql.PHONE_RE}', '{ql.PII_MASK}', 'g') AS masked_text,
+  n_emails,
+  CAST(len(regexp_extract_all(t, '{ql.PHONE_RE}')) AS BIGINT) AS n_phones
+FROM no_email"""
+
+    o["stratified_sample"] = f"""
+WITH r(lang, rate) AS (
+  VALUES ('en', 800), ('de', 600), ('fr', 600), ('es', 600), ('zh', 300)
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r USING (lang)
+WHERE ((d.doc_id % {ql.SAMPLE_MOD}) * {ql.SAMPLE_MUL} + {ql.SAMPLE_INC})
+      % {ql.SAMPLE_MOD} % 1000 < r.rate"""
+
+    o["source_cap"] = """
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         [w FOR w IN string_split(text, ' ') IF w <> ''] AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source,
+    len(toks) AS n_tokens,
+    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+          / greatest(length(text), 1), 6) AS punct_ratio,
+    round(list_sum([CAST(length(w) AS BIGINT) FOR w IN toks])
+          / greatest(len(toks), 1), 6) AS mean_word_len
+  FROM base
+),
+scored AS (
+  SELECT doc_id, lang, source,
+    round((least(n_tokens / 20.0, 1.0)
+           + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                   THEN 1.0 ELSE 0.5 END)
+           + (1.0 - least(punct_ratio * 5, 1.0))) / 3.0, 6) AS quality
+  FROM m
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang, source ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, source, quality, rn FROM ranked WHERE rn <= 5"""
 
     # embedding near-dup LSH twin: the planted-twin corpus is mirrored
     # in SQL (same splitmix-free perturbation formula); the oracle skips
