@@ -470,6 +470,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_cap"] = q_source_cap
 
+    def q_trap_detection(spark, sf):
+        # the synthetic corpus has flat /p/{i} URLs only, so the query
+        # plants deterministic trap-shaped hosts (calendar repetition,
+        # session-param explosion, and a below-volume-floor decoy) —
+        # mirrored formula-for-formula in the oracle
+        from hiispider_spark.operators import traps as tr
+
+        good = spark.range(0, 200).select(
+            F.format_string(
+                "http://good%d.example.org/p/%d",
+                (F.col("id") % 4).cast("int"),
+                F.col("id"),
+            ).alias("url")
+        )
+        cal = spark.range(0, 120).select(
+            F.format_string(
+                "http://trapa.example.org%s/page",
+                F.expr("repeat('/cal/2020', CAST(2 + id % 4 AS INT))"),
+            ).alias("url")
+        )
+        sess = spark.range(0, 80).select(
+            F.format_string(
+                "http://trapb.example.org/p/%d?a=%d&b=%d&c=%d&d=%d&e=%d",
+                *([F.col("id")] * 6),
+            ).alias("url")
+        )
+        tiny = spark.range(0, 10).select(
+            F.format_string(
+                "http://tiny.example.org%s", F.expr("repeat('/x', 12)")
+            ).alias("url")
+        )
+        urls = good.unionByName(cal).unionByName(sess).unionByName(tiny)
+        return tr.host_trap_stats(urls)
+
+    q["trap_detection"] = q_trap_detection
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1186,6 +1222,56 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, lang, source, quality, rn FROM ranked WHERE rn <= 5"""
+
+    from hiispider_spark.operators import traps as _tr
+
+    o["trap_detection"] = f"""
+WITH urls AS (
+  SELECT printf('http://good%d.example.org/p/%d', CAST(i % 4 AS INT), i) AS url
+  FROM range(200) t(i)
+  UNION ALL
+  SELECT printf('http://trapa.example.org%s/page',
+                repeat('/cal/2020', CAST(2 + i % 4 AS INT))) AS url
+  FROM range(120) t(i)
+  UNION ALL
+  SELECT printf('http://trapb.example.org/p/%d?a=%d&b=%d&c=%d&d=%d&e=%d',
+                i, i, i, i, i, i) AS url
+  FROM range(80) t(i)
+  UNION ALL
+  SELECT printf('http://tiny.example.org%s', repeat('/x', 12)) AS url
+  FROM range(10) t(i)
+),
+sig AS (
+  SELECT
+    regexp_extract(url, '://([^/?#]+)', 1) AS host,
+    [s FOR s IN string_split(
+       regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1), '/') IF s <> ''] AS segs,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM urls
+),
+m AS (
+  SELECT host,
+    CAST(len(segs) AS BIGINT) AS depth,
+    round(1.0 - len(list_distinct(segs)) / greatest(len(segs), 1), 6)
+      AS repeat_frac,
+    CAST(CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS BIGINT)
+      AS n_params
+  FROM sig
+),
+agg AS (
+  SELECT host, count(*) AS n_urls,
+    round(avg(depth), 6) AS avg_depth,
+    round(avg(repeat_frac), 6) AS avg_repeat_frac,
+    round(avg(n_params), 6) AS avg_params,
+    max(depth) AS max_depth
+  FROM m GROUP BY host
+)
+SELECT *,
+  (n_urls >= {_tr.MIN_URLS}
+   AND (avg_repeat_frac > {_tr.MAX_AVG_REPEAT_FRAC}
+        OR avg_depth > {_tr.MAX_AVG_DEPTH}
+        OR avg_params > {_tr.MAX_AVG_PARAMS})) AS trap
+FROM agg"""
 
     # embedding near-dup LSH twin: the planted-twin corpus is mirrored
     # in SQL (same splitmix-free perturbation formula); the oracle skips

@@ -247,6 +247,8 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         "text_profile",
         "bpe_token_count",
         "ann_cosine_topk",
+        "quality_gopher",
+        "span_dedup",
         "host_stats",
         "seen_antijoin",
         "politeness_budget",

@@ -101,6 +101,15 @@ class EpochConfig:
     state_deltas: bool = True
     compact_every: int = 8
     compact_delta_rows: int = 4_000_000
+    # Crawl-trap guard (operators/traps.py): hosts whose newly
+    # discovered links this epoch exceed trap_min_urls AND show a
+    # pathological URL shape (segment repetition / depth / query-param
+    # explosion) are dropped before the seen probe and frontier merge —
+    # one calendar widget must not mint frontier rows unboundedly.
+    # Default off: the synthetic corpus has flat URLs, and golden
+    # fixtures pin the unguarded ordering.
+    trap_guard: bool = False
+    trap_min_urls: int = 10_000
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -271,8 +280,17 @@ def run_epoch(
         )
         hashed.count()
         _mark("links_hash")
+        candidates = hashed
+        if cfg.trap_guard:
+            from hiispider_spark.operators import traps as tr
+
+            # one agg pass over the (persisted) candidate set; the
+            # flagged host list is tiny → broadcast anti-join, so trap
+            # URLs never reach the bloom probe or the frontier
+            tstats = tr.host_trap_stats(hashed, min_urls=cfg.trap_min_urls)
+            candidates = tr.filter_traps(hashed, tstats)
         unseen = seen_ops.filter_unseen_partitioned(
-            hashed, cat.read("seen_set"), cat.read("seen_exact"),
+            candidates, cat.read("seen_set"), cat.read("seen_exact"),
             cfg.bloom_m_bits,
         )
         inserted = new_frontier_entries(
