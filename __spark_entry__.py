@@ -506,6 +506,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trap_detection"] = q_trap_detection
 
+    def q_dedup_clusters(spark, sf):
+        # pairs → clusters: planted chains (doc d ~ d+50), diameter
+        # n/50 − 1, so convergence is genuinely iterative; the true
+        # component min is SQL-expressible as min over doc_id % 50
+        from hiispider_spark.operators import clusters as cl
+
+        docs = _docs(spark, sf).select("doc_id")
+        pairs = docs.select(F.col("doc_id").alias("doc_a")).join(
+            docs.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_b") == F.col("doc_a") + 50,
+        )
+        return cl.dedup_clusters(docs, pairs, max_iter=120)
+
+    q["dedup_clusters"] = q_dedup_clusters
+
+    def q_dedup_survivors(spark, sf):
+        # clusters + quality → one keep per cluster (the actual drop
+        # decision a dedup pipeline emits)
+        from hiispider_spark.operators import clusters as cl
+
+        docs = _docs(spark, sf)
+        idd = docs.select("doc_id")
+        pairs = idd.select(F.col("doc_id").alias("doc_a")).join(
+            idd.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_b") == F.col("doc_a") + 50,
+        )
+        clusters = cl.dedup_clusters(idd, pairs, max_iter=120)
+        scored = docs.select(
+            "doc_id", F.round(ts.quality_score_col(F.col("text")), 6).alias("quality")
+        )
+        return cl.dedup_survivors(scored, clusters, quality_col="quality")
+
+    q["dedup_survivors"] = q_dedup_survivors
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1222,6 +1256,45 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, lang, source, quality, rn FROM ranked WHERE rn <= 5"""
+
+    # clusters twins: chains step by 50 over contiguous doc_ids → the
+    # connected-component min is exactly min(doc_id) per doc_id % 50
+    o["dedup_clusters"] = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 50) AS cluster
+FROM documents"""
+
+    o["dedup_survivors"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         [w FOR w IN string_split(text, ' ') IF w <> ''] AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+          / greatest(length(text), 1), 6) AS punct_ratio,
+    round(list_sum([CAST(length(w) AS BIGINT) FOR w IN toks])
+          / greatest(len(toks), 1), 6) AS mean_word_len
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+    round((least(n_tokens / 20.0, 1.0)
+           + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                   THEN 1.0 ELSE 0.5 END)
+           + (1.0 - least(punct_ratio * 5, 1.0))) / 3.0, 6) AS quality
+  FROM m
+),
+j AS (
+  SELECT s.doc_id, s.quality,
+         min(s.doc_id) OVER (PARTITION BY s.doc_id % 50) AS cluster
+  FROM scored s
+)
+SELECT doc_id, quality, cluster,
+  (row_number() OVER (
+     PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+FROM j"""
 
     from hiispider_spark.operators import traps as _tr
 
