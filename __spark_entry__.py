@@ -540,6 +540,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_survivors"] = q_dedup_survivors
 
+    def q_recrawl_schedule(spark, sf):
+        # adaptive revisit intervals (Cho & Garcia-Molina estimator)
+        # over a closed-form fetch history: doc d polled 2+d%6 times,
+        # gap 600+(d%7)*300 s, change flags from (31d+17k) mod 5
+        from hiispider_spark.operators import recrawl as rc
+
+        d = F.col("doc_id")
+        k = F.col("k")
+        hist = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .withColumn("k", F.explode(F.sequence(F.lit(0), (d % 6) + 1)))
+            .select(
+                F.format_string(
+                    "http://h%04d.example.org/p/%d", (d % 50).cast("int"), d
+                ).alias("url"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + k * (600 + (d % 7) * 300)
+                ).alias("fetch_ts"),
+                ((k > 0) & ((d * 31 + k * 17) % 5 < 2)).alias("changed"),
+            )
+        )
+        return rc.recrawl_schedule(hist)
+
+    q["recrawl_schedule"] = q_recrawl_schedule
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1295,6 +1321,41 @@ SELECT doc_id, quality, cluster,
   (row_number() OVER (
      PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) = 1) AS keep
 FROM j"""
+
+    # recrawl: same closed-form history, estimator mirrored verbatim
+    o["recrawl_schedule"] = """
+WITH hist AS (
+  SELECT printf('http://h%04d.example.org/p/%d',
+                CAST(doc_id % 50 AS INT), doc_id) AS url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + k * (600 + (doc_id % 7) * 300) * INTERVAL 1 SECOND AS fetch_ts,
+         (k > 0 AND (doc_id * 31 + k * 17) % 5 < 2) AS changed
+  FROM documents, LATERAL unnest(range(0, 2 + doc_id % 6)) AS t(k)
+),
+agg AS (
+  SELECT url, count(*) AS n_polls,
+         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         min(fetch_ts) AS first_ts, max(fetch_ts) AS last_ts
+  FROM hist GROUP BY url
+),
+est AS (
+  SELECT *,
+    -ln((n_polls - least(n_changes, n_polls) + 0.5) / (n_polls + 0.5))
+      / ((epoch(last_ts) - epoch(first_ts)) / (n_polls - 1)) AS lam_raw
+  FROM agg
+),
+iv AS (
+  SELECT *,
+    CASE WHEN lam_raw <= 0 THEN 604800.0
+         ELSE least(greatest(1.0 / lam_raw, 60.0), 604800.0) END AS interval_raw
+  FROM est
+)
+SELECT url, n_polls, n_changes,
+  round(lam_raw, 9) + 0 AS lam,  -- +0 folds IEEE -0.0 (from -ln(1)) to +0.0
+  round(interval_raw, 6) AS interval_s,
+  to_timestamp(CAST(epoch(last_ts) AS BIGINT)
+               + CAST(floor(interval_raw) AS BIGINT)) AS next_fetch_ts
+FROM iv"""
 
     from hiispider_spark.operators import traps as _tr
 
