@@ -5,23 +5,30 @@ an actual dedup pipeline needs CLUSTERS and a keep/drop decision per
 document: connected components over the pair graph, then one survivor
 per component. This module finishes that pipeline.
 
-Algorithm: minimum-label propagation (the standard Spark-shaped
-connected components — e.g. GraphFrames/GraphX CC is the same
-fixpoint). Each vertex starts labeled with itself; every iteration each
-vertex takes the min of its own and its neighbors' labels; at fixpoint
-the label is the component's minimum id.
+Two algorithms, selected by the ``algorithm`` parameter:
 
-100 TB shape:
-- labels and undirected-edge messages are (long, long) rows — two
-  map-side-combinable shuffles per iteration, nothing wider;
-- iteration count is the component DIAMETER, not size — near-dup
-  clusters are dense (LSH emits most intra-cluster pairs), so real
-  diameters are tiny; `max_iter` guards pathological chains;
+- ``"label"`` (default): minimum-label propagation (the standard
+  Spark-shaped CC — GraphFrames/GraphX is the same fixpoint). Each
+  vertex starts labeled with itself; every iteration each vertex takes
+  the min of its own and its neighbors' labels. Round count = component
+  DIAMETER — the right default for LSH near-dup graphs, whose clusters
+  are dense (LSH emits most intra-cluster pairs, diameters ~1-3).
+- ``"star"``: alternating Large-Star/Small-Star contraction (Kiveris,
+  Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+  MapReduce and Beyond", SoCC 2014 — public algorithm, implemented
+  fresh). Round count is O(log² n) REGARDLESS of diameter — the scale
+  path when the pair graph's shape is unknown (e.g. chained
+  boilerplate families), where propagation's diameter bound explodes.
+
+100 TB shape (both):
+- state rows are (long, long) — map-side-combinable min-aggregations,
+  nothing wider;
 - per-iteration ``localCheckpoint`` truncates lineage exactly like the
   deep-iteration path in linkgraph.py (r2 lesson: unpersisted
   iterative lineage re-plans under AQE and crawls);
 - convergence is detected from the SAME aggregation that builds the
-  next labels (max over a changed flag) — no extra job per iteration.
+  next state (label delta / edge-set delta) — one bounded ``take(1)``
+  per round, never a full collect.
 """
 
 from __future__ import annotations
@@ -30,27 +37,97 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _star_contract(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
+    """Alternating Large-Star / Small-Star until the oriented edge set
+    is stable. ``edges``: symmetric (src, dst), no self-loops. Returns
+    (converged oriented edges (child > root rows as (src=child,
+    dst=root)), rounds used). At convergence every component is a star
+    centered on its minimum id.
+    """
+    # orient (larger, smaller); the round body re-symmetrizes for the
+    # large-star step
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # Large-Star: every neighbor v > u connects to m = min(Γ(u)∪{u})
+        lmins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.join(lmins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # Small-Star on (larger u → smaller v) orientation: u and all
+        # its smaller neighbors connect to m = min(Γ<(u) ∪ {u})
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        nxt = (
+            large.join(smins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(smins.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = bool(
+            nxt.exceptAll(cur).take(1) or cur.exceptAll(nxt).take(1)
+        )
+        cur = nxt
+        if not changed:
+            break
+    return cur, rounds
+
+
 def dedup_clusters(
     ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(doc_id, cluster) — cluster = min doc_id of the connected
     component; singletons keep their own id.
 
     ``ids``: one row per document (the universe). ``pairs``: duplicate
-    edges, any orientation, duplicates tolerated.
+    edges, any orientation, duplicates tolerated. ``algorithm``:
+    ``"label"`` (diameter-bound rounds, cheapest per round — the dense
+    LSH-cluster default) or ``"star"`` (O(log² n) rounds regardless of
+    diameter — the unknown-shape / chained-graph scale path).
     """
     a, b = pair_cols
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .persist()
     )
     edges.count()
+    if algorithm == "star":
+        try:
+            stars, _ = _star_contract(edges, max_rounds=max_iter)
+        finally:
+            edges.unpersist()
+        roots = stars.groupBy("src").agg(F.min("dst").alias("label"))
+        return ids.select(F.col(id_col)).join(
+            roots.withColumnRenamed("src", id_col), id_col, "left"
+        ).select(
+            id_col, F.coalesce("label", F.col(id_col)).alias("cluster")
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
