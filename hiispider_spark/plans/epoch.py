@@ -110,6 +110,15 @@ class EpochConfig:
     # fixtures pin the unguarded ordering.
     trap_guard: bool = False
     trap_min_urls: int = 10_000
+    # Adaptive recrawl (operators/recrawl.py): reschedule successful
+    # fetches at clamp(1/λ̂) from the page_cache change counters instead
+    # of the row's fixed interval_s — static pages drift toward
+    # recrawl_max_s, fast movers toward recrawl_min_s. Runs O(slice)
+    # Column math off counters the cache update computes anyway.
+    # Default off: golden ordering fixtures pin fixed intervals.
+    adaptive_recrawl: bool = False
+    recrawl_min_s: float = 60.0
+    recrawl_max_s: float = 604800.0
 
 
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
@@ -243,9 +252,40 @@ def run_epoch(
     # O(slice) per epoch (only touched buckets' cache files open),
     # never a scan+aggregate of the ever-growing extracted history
     cache = cat.read_parts("page_cache", touched).select(
-        "url_hash", "content_sha1"
+        "url_hash", "content_sha1", "n_polls", "n_changes", "first_fetch_ts"
     )
     modified, unchanged = split_modified(fetched, cache)
+    # next page_cache rows for this epoch's fetches: digest + rolled
+    # change counters (adaptive-recrawl input). One slice×cache join —
+    # same O(slice)/O(touched-buckets) shape as the conditional GET.
+    prev = cache.select(
+        "url_hash",
+        F.col("content_sha1").alias("_sha"),
+        F.col("n_polls").alias("_np"),
+        F.col("n_changes").alias("_nc"),
+        F.col("first_fetch_ts").alias("_ft"),
+    )
+    cache_rows = (
+        fetched_meta.select("part_id", "url_hash", "content_sha1")
+        .join(prev, "url_hash", "left")
+        .select(
+            "part_id",
+            "url_hash",
+            "content_sha1",
+            (F.coalesce(F.col("_np"), F.lit(0)) + 1).alias("n_polls"),
+            (
+                F.coalesce(F.col("_nc"), F.lit(0))
+                + F.when(
+                    F.col("_sha").isNotNull()
+                    & (F.col("_sha") != F.col("content_sha1")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes"),
+            F.coalesce(
+                F.col("_ft"), F.lit(ts).cast("timestamp")
+            ).alias("first_fetch_ts"),
+        )
+    )
 
     extracted_new = run_extraction(modified, e).persist(StorageLevel.DISK_ONLY)
     n_extracted = extracted_new.count()
@@ -313,6 +353,42 @@ def run_epoch(
         n_inserted = 0
 
     requeued = requeue_fetched(fetched_meta.select(*FRONTIER_COLS), ts)
+    if cfg.adaptive_recrawl:
+        from hiispider_spark.operators import recrawl as rc
+
+        # override the fixed interval with clamp(1/λ̂) from the rolled
+        # counters; n_polls < 2 (no gap yet) keeps the row's interval_s
+        span = (
+            F.unix_timestamp(F.lit(ts).cast("timestamp"))
+            - F.unix_timestamp("first_fetch_ts")
+        ).cast("double")
+        est = (F.col("n_polls") >= 2) & (span > 0)
+        lam = rc.change_rate_col(
+            F.col("n_polls"),
+            F.col("n_changes"),
+            span / (F.col("n_polls") - 1).cast("double"),
+        )
+        iv = F.when(
+            est,
+            rc.revisit_interval_col(
+                lam, min_s=cfg.recrawl_min_s, max_s=cfg.recrawl_max_s
+            ),
+        ).otherwise(F.col("interval_s").cast("double"))
+        requeued = (
+            requeued.join(
+                cache_rows.select(
+                    "url_hash", "n_polls", "n_changes", "first_fetch_ts"
+                ),
+                "url_hash",
+                "left",
+            )
+            .withColumn(
+                "next_fetch_ts",
+                F.lit(ts).cast("timestamp")
+                + F.make_interval(secs=F.floor(iv).cast("double")),
+            )
+            .select(*FRONTIER_COLS)
+        )
     backoff = requeue_failed(failed.select(*FRONTIER_COLS), ts)
     touched_all = sorted(set(touched) | set(ins_parts))
     if cfg.state_deltas:
@@ -367,10 +443,7 @@ def run_epoch(
         # touched hosts. O(slice) rows, a handful of files; no carried
         # read, no per-table parts collect.
         cache_job = lambda: cat.stage_append_delta(  # noqa: E731
-            "page_cache",
-            fetched_meta.select(
-                "part_id", "url_hash", "content_sha1"
-            ).coalesce(8),
+            "page_cache", cache_rows.coalesce(8)
         )
         politeness_job = lambda: cat.stage_append_delta(  # noqa: E731
             "politeness", new_state.coalesce(1)
@@ -378,9 +451,7 @@ def run_epoch(
     else:
         # fetched rows replace their digests, the rest of the touched
         # buckets carry; untouched buckets never open
-        cache_next = fetched_meta.select(
-            "part_id", "url_hash", "content_sha1"
-        ).unionByName(
+        cache_next = cache_rows.unionByName(
             cat.read_parts("page_cache", touched).join(
                 fetched_meta.select("url_hash"), "url_hash", "left_anti"
             )

@@ -103,6 +103,13 @@ PAGE_CACHE = T.StructType(
         T.StructField("part_id", T.IntegerType(), False),
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("content_sha1", T.StringType(), False),
+        # change-history counters for adaptive recrawl
+        # (operators/recrawl.py): polls, detected changes, first fetch.
+        # Three narrow fields riding the same O(slice)/epoch update —
+        # no extra table, no extra shuffle.
+        T.StructField("n_polls", T.LongType(), False),
+        T.StructField("n_changes", T.LongType(), False),
+        T.StructField("first_fetch_ts", T.TimestampType(), False),
     ]
 )
 
