@@ -1,0 +1,192 @@
+"""WARC ingestion: Common-Crawl-style archive files → the pages table.
+
+The engine's canonical input is an Iceberg-like table of pages
+(url, warc_ts, html:binary, text, lang) — but real Common Crawl data
+arrives as WARC files (ISO 28500 / WARC 1.0: framed records with
+``WARC/1.0`` header blocks; ``response`` records carry a full HTTP
+response as payload; archives are plain or per-record-gzip). This
+module parses that format from scratch against the published spec —
+no warc library exists in the container, and none is needed: the
+format is line-framed headers + Content-Length-delimited payloads.
+
+100 TB shape:
+- one WARC file = one input row (``spark.read.format("binaryFile")``)
+  = one task: Common Crawl shards its dumps into ~1 GB files, so
+  file-level parallelism is the natural partitioning (64k files per
+  crawl) and no record-level shuffle is needed to ingest;
+- parsing runs in ``mapInPandas`` — Arrow batches in, a generator of
+  record batches out, so a 1 GB archive never materializes as one
+  Python list;
+- the output schema is exactly the ``pages`` input hint; downstream
+  (extraction, dedup, textstats) is unchanged.
+
+Gzip: Common Crawl gzips each record as its own member; stdlib
+``gzip.decompress`` handles concatenated members transparently.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("source_file", T.StringType(), True),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    """WARC named fields: ``Name: value`` lines, case-insensitive
+    names (spec §4); continuation lines (leading SP/TAB) folded."""
+    headers: dict[str, str] = {}
+    last = None
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            continue
+        last = name.strip().decode("latin-1").lower()
+        headers[last] = value.strip().decode("latin-1")
+    return headers
+
+
+def _http_body(payload: bytes) -> tuple[int | None, bytes]:
+    """Split an HTTP response payload into (status, body). A payload
+    that is not an HTTP message (e.g. resource records) comes back as
+    (None, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    head, sep, body = payload.partition(_CRLF + _CRLF)
+    if not sep:
+        return None, payload
+    try:
+        status = int(head.split(_CRLF, 1)[0].split(b" ")[1])
+    except (IndexError, ValueError):
+        status = None
+    return status, body
+
+
+def parse_warc_bytes(
+    blob: bytes, want_types: tuple[str, ...] = ("response",)
+) -> Iterator[dict]:
+    """Yield records from one WARC archive (plain or gzipped).
+
+    Malformed tails (truncated record, bad Content-Length) stop the
+    scan of THIS file without raising — at 64k files/crawl a clipped
+    archive must cost its own tail only, never the ingest job.
+    """
+    if blob[:2] == b"\x1f\x8b":
+        try:
+            blob = gzip.decompress(blob)  # concatenated members ok
+        except OSError:
+            return
+    pos, n = 0, len(blob)
+    while pos < n:
+        # skip inter-record CRLFs
+        while blob[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not blob[pos : pos + 5] == b"WARC/":
+            return  # framing lost — stop this file
+        head_end = blob.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            return
+        headers = _parse_header_block(blob[pos:head_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            return
+        payload = blob[head_end + 4 : head_end + 4 + length]
+        if len(payload) < length:
+            return  # truncated tail
+        pos = head_end + 4 + length
+        if headers.get("warc-type") in want_types:
+            yield {"headers": headers, "payload": payload}
+
+
+def _ts(value: str | None):
+    if not value:
+        return None
+    try:
+        # WARC-Date is ISO 8601 UTC, e.g. 2024-01-01T00:00:00Z
+        return datetime.fromisoformat(value.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        ).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def read_warc(files: DataFrame) -> DataFrame:
+    """(path, content) rows — e.g. ``spark.read.format("binaryFile")``
+    over a WARC directory — → pages-shaped rows, one per ``response``
+    record: (url, warc_ts, html, http_status, source_file)."""
+    import pandas as pd
+
+    cols = files.select("path", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for rec in parse_warc_bytes(bytes(blob)):
+                    status, body = _http_body(rec["payload"])
+                    rows.append(
+                        (
+                            rec["headers"].get("warc-target-uri"),
+                            _ts(rec["headers"].get("warc-date")),
+                            body,
+                            status,
+                            path,
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in PAGES_SCHEMA]
+                    )
+
+    return cols.mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ----------------------------------------------------------------- writer
+def build_warc_bytes(
+    records: list[tuple[str, str, int, bytes]], compress: bool = False
+) -> bytes:
+    """Serialize (url, iso_ts, status, body) rows as a WARC 1.0 archive
+    of ``response`` records — the test/fixture-side inverse of
+    :func:`parse_warc_bytes`. ``compress=True`` gzips each record as
+    its own member (the Common Crawl layout)."""
+    out = io.BytesIO()
+    for i, (url, iso_ts, status, body) in enumerate(records):
+        http = (
+            f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {iso_ts}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        rec = head + http + _CRLF + _CRLF
+        out.write(gzip.compress(rec) if compress else rec)
+    return out.getvalue()
