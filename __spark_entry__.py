@@ -509,7 +509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_clusters(spark, sf):
         # pairs → clusters: planted chains (doc d ~ d+50), diameter
         # n/50 − 1, so convergence is genuinely iterative; the true
-        # component min is SQL-expressible as min over doc_id % 50
+        # component min is SQL-expressible as min over doc_id % 50.
+        # Star contraction: round count is O(log² n), not diameter —
+        # this query stays cheap at ANY sf (the label-propagation
+        # algorithm is exercised by dedup_survivors and pytest)
         from hiispider_spark.operators import clusters as cl
 
         docs = _docs(spark, sf).select("doc_id")
@@ -517,7 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select(F.col("doc_id").alias("doc_b")),
             F.col("doc_b") == F.col("doc_a") + 50,
         )
-        return cl.dedup_clusters(docs, pairs, max_iter=120)
+        return cl.dedup_clusters(docs, pairs, max_iter=40, algorithm="star")
 
     q["dedup_clusters"] = q_dedup_clusters
 
