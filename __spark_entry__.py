@@ -543,6 +543,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_survivors"] = q_dedup_survivors
 
+    def q_corpus_prep(spark, sf):
+        # the training-data pipeline END-TO-END as one declarative
+        # DAG: Gopher keep-filter → exact dedup → n-gram-Jaccard
+        # near-dup pairs → connected components (star) → best-quality
+        # survivor per cluster → per-language stratified sample.
+        # threshold 0.08 keeps a sparse real pair graph (~12 edges
+        # over ~80 kept docs at sf0.01 — several multi-doc clusters,
+        # most docs singleton survivors); at scale the pair stage is
+        # minhash_lsh_pairs (same contract).
+        from hiispider_spark.operators import clusters as cl
+
+        docs = _docs(spark, sf)
+        keep_ids = (
+            ql.gopher_signals(docs, "doc_id", "text")
+            .filter("keep")
+            .select("doc_id")
+        )
+        kept = docs.join(keep_ids, "doc_id")
+        surv_ids = dd.exact_dedup_groups(kept, "doc_id", "text").select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        uniq = kept.join(surv_ids, "doc_id")
+        pairs = dd.ngram_jaccard_pairs(
+            uniq, "doc_id", "text", n=2, threshold=0.08
+        )
+        clusters = cl.dedup_clusters(
+            uniq.select("doc_id"),
+            pairs.select("doc_a", "doc_b"),
+            max_iter=40,
+            algorithm="star",
+        )
+        scored = uniq.select(
+            "doc_id",
+            "lang",
+            F.round(ts.quality_score_col(F.col("text")), 6).alias("quality"),
+        )
+        surv = cl.dedup_survivors(scored, clusters, quality_col="quality")
+        rates = {"en": 800, "de": 600, "fr": 600, "es": 600, "zh": 300}
+        return ql.stratified_sample(
+            surv.filter(F.col("keep")), "doc_id", "lang", rates
+        ).select("doc_id", "lang", "cluster", "quality")
+
+    q["corpus_prep"] = q_corpus_prep
+
     def q_recrawl_schedule(spark, sf):
         # adaptive revisit intervals (Cho & Garcia-Molina estimator)
         # over a closed-form fetch history: doc d polled 2+d%6 times,
@@ -1324,6 +1368,101 @@ SELECT doc_id, quality, cluster,
   (row_number() OVER (
      PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) = 1) AS keep
 FROM j"""
+
+    # corpus_prep: every stage's existing twin composed in one WITH;
+    # connected components via transitive closure (WITH RECURSIVE —
+    # UNION-dedup fixpoint), cluster = min reachable doc_id
+    o["corpus_prep"] = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, text,
+         [w FOR w IN string_split(text, ' ') IF w <> ''] AS toks
+  FROM documents
+),
+narrow AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    round(1.0 - len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+      AS frac_dup_words
+  FROM base
+),
+bg AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+  FROM base
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, round(2.0 * max(c) / sum(c), 6) AS top_bigram_frac
+  FROM cnt GROUP BY 1
+),
+kept AS (
+  SELECT b.* FROM base b
+  JOIN narrow n USING (doc_id) LEFT JOIN top t USING (doc_id)
+  WHERE n.n_tokens >= 30 AND n.frac_dup_words <= 0.55
+    AND coalesce(t.top_bigram_frac, 0.0) <= 0.08
+),
+uniq_ids AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept GROUP BY md5(regexp_replace(text, ' #\\d+$', ''))
+),
+uniq AS (SELECT k.* FROM kept k JOIN uniq_ids USING (doc_id)),
+grams AS (
+  SELECT doc_id,
+         list_distinct([toks[i+1] || ' ' || toks[i+2] FOR i IN range(len(toks) - 1)]) AS gs
+  FROM uniq
+),
+flat AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+sizes AS (SELECT doc_id, len(gs) AS n_grams FROM grams),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+  FROM flat a JOIN flat b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da, db FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.da JOIN sizes sb ON sb.doc_id = i.db
+  WHERE CAST(i.ni AS DOUBLE) / (sa.n_grams + sb.n_grams - i.ni) >= 0.08
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM uniq
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY 1),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+          / greatest(length(text), 1), 6) AS punct_ratio,
+    round(list_sum([CAST(length(w) AS BIGINT) FOR w IN toks])
+          / greatest(len(toks), 1), 6) AS mean_word_len
+  FROM uniq
+),
+scored AS (
+  SELECT doc_id,
+    round((least(n_tokens / 20.0, 1.0)
+           + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                   THEN 1.0 ELSE 0.5 END)
+           + (1.0 - least(punct_ratio * 5, 1.0))) / 3.0, 6) AS quality
+  FROM m
+),
+surv AS (
+  SELECT s.doc_id, u.lang, c.cluster, s.quality,
+    row_number() OVER (
+      PARTITION BY c.cluster ORDER BY s.quality DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN comp c USING (doc_id) JOIN uniq u USING (doc_id)
+),
+r(lang, rate) AS (
+  VALUES ('en', 800), ('de', 600), ('fr', 600), ('es', 600), ('zh', 300)
+)
+SELECT s.doc_id, s.lang, s.cluster, s.quality
+FROM surv s JOIN r USING (lang)
+WHERE rn = 1
+  AND ((s.doc_id % 2147483648) * 1103515245 + 12345)
+      % 2147483648 % 1000 < r.rate"""
 
     # recrawl: same closed-form history, estimator mirrored verbatim
     o["recrawl_schedule"] = """
