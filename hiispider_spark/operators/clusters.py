@@ -173,10 +173,12 @@ def dedup_survivors(
     id), or simply the cluster representative (min id) when no quality
     column is given. Output: docs columns + cluster + keep flag.
 
-    Window per cluster plans as WindowGroupLimit-eligible rank ≤ 1 —
-    partial top-1 before the shuffle, so a giant near-dup cluster
-    (boilerplate pages) never concentrates rows on one task beyond 1
-    per map partition.
+    All rows come back flagged (drop-rate stats need the losers).
+    When the caller filters on ``keep`` — the usual next step —
+    Catalyst collapses the projection and infers WindowGroupLimit
+    (plan-asserted in test_plan_shapes): a partial top-1 runs before
+    the cluster shuffle, so a giant near-dup cluster (boilerplate
+    pages) never concentrates its full row set on one task.
     """
     joined = docs.join(clusters, id_col)
     if quality_col is None:

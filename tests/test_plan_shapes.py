@@ -106,3 +106,38 @@ def test_centroid_assignment_is_join_free(spark):
     p = plan_of(df)
     for node in ("Join", "Exchange", "ArrowEvalPython", "BatchEvalPython"):
         assert node not in p
+
+
+def test_recrawl_agg_is_map_side_combinable(spark):
+    """The fetch-log aggregation must plan as partial→final hash
+    aggregates (map-side combine before the single key exchange) with
+    no window function — the O(log) shape the 100 TB path needs."""
+    from datetime import datetime
+
+    from hiispider_spark.operators import recrawl as rc
+
+    hist = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), False)],
+        "url string, fetch_ts timestamp, changed boolean",
+    )
+    p = plan_of(rc.recrawl_schedule(hist))
+    assert "partial_count" in p or "partial_min" in p  # map-side combine
+    assert "Window" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_survivor_selection_uses_window_group_limit(spark):
+    """Filtering dedup_survivors on keep must push a partial top-1
+    below the cluster shuffle (WindowGroupLimit — Catalyst collapses
+    the keep-flag projection into a rank=1 filter) so a giant
+    boilerplate cluster never concentrates its full row set on one
+    task. The unfiltered flag form necessarily keeps every row."""
+    from hiispider_spark.operators import clusters as cl
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS DOUBLE) AS q"
+    )
+    clusters = spark.range(100).selectExpr("id AS doc_id", "id % 10 AS cluster")
+    kept = cl.dedup_survivors(docs, clusters, quality_col="q").filter("keep")
+    p = plan_of(kept)
+    assert "WindowGroupLimit" in p
