@@ -526,7 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_survivors(spark, sf):
         # clusters + quality → one keep per cluster (the actual drop
-        # decision a dedup pipeline emits)
+        # decision a dedup pipeline emits). Star contraction: the
+        # planted chains' diameter grows with sf (label propagation
+        # measured 39 s vs 11 s at sf0.1); the label algorithm is
+        # pinned by tests/test_clusters.py instead
         from hiispider_spark.operators import clusters as cl
 
         docs = _docs(spark, sf)
@@ -535,7 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idd.select(F.col("doc_id").alias("doc_b")),
             F.col("doc_b") == F.col("doc_a") + 50,
         )
-        clusters = cl.dedup_clusters(idd, pairs, max_iter=120)
+        clusters = cl.dedup_clusters(idd, pairs, max_iter=40, algorithm="star")
         scored = docs.select(
             "doc_id", F.round(ts.quality_score_col(F.col("text")), 6).alias("quality")
         )
