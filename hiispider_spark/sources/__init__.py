@@ -9,3 +9,8 @@ from hiispider_spark.sources.synth import (  # noqa: F401
     synth_robots,
     synth_seeds,
 )
+from hiispider_spark.sources.warc import (  # noqa: F401
+    build_warc_bytes,
+    parse_warc_bytes,
+    read_warc,
+)

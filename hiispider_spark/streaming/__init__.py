@@ -4,3 +4,5 @@ from hiispider_spark.streaming.micro_batch import (  # noqa: F401
     crawl_url,
     stream_events_windowed,
 )
+from hiispider_spark.streaming.continuous import crawl_stream  # noqa: F401
+from hiispider_spark.streaming.stateful import stream_politeness  # noqa: F401
