@@ -654,6 +654,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = q_multimodal_features
 
+    def q_multimodal_bmp(spark, sf):
+        # REAL image decode (24-bit BMP via struct+numpy, no imaging
+        # libs): synth solid-color bitmaps are closed-form in doc_id,
+        # so the decoded channel means are fully value-oracled
+        from hiispider_spark.operators import multimodal as mm
+
+        docs = _docs(spark, sf).select("doc_id")
+        return mm.bmp_features(mm.synth_bmp_media(docs))
+
+    q["multimodal_bmp"] = q_multimodal_bmp
+
+    def q_multimodal_wav(spark, sf):
+        # REAL audio decode (16-bit PCM WAV via stdlib wave): ±a square
+        # wave → RMS is exactly a, closed-form for the oracle
+        from hiispider_spark.operators import multimodal as mm
+
+        docs = _docs(spark, sf).select("doc_id")
+        return mm.wav_features(mm.synth_wav_media(docs))
+
+    q["multimodal_wav"] = q_multimodal_wav
+
     # --- generic relational coverage on driver tables ---
     def q_agg_pricing(spark, sf):
         # Sums accumulate in DECIMAL(18,2) for exactness; the final cast
@@ -1466,6 +1487,20 @@ FROM surv s JOIN r USING (lang)
 WHERE rn = 1
   AND ((s.doc_id % 2147483648) * 1103515245 + 12345)
       % 2147483648 % 1000 < r.rate"""
+
+    # real-decode multimodal: features are closed-form in doc_id
+    o["multimodal_bmp"] = """
+SELECT doc_id, 8 AS width, 8 AS height,
+  CAST((7 * doc_id + 2) % 256 AS DOUBLE) AS mean_r,
+  CAST((3 * doc_id + 1) % 256 AS DOUBLE) AS mean_g,
+  CAST(doc_id % 256 AS DOUBLE) AS mean_b
+FROM documents"""
+
+    o["multimodal_wav"] = """
+SELECT doc_id, 8000 AS sample_rate,
+  CAST(64 + doc_id % 64 AS INT) AS n_samples,
+  CAST(100 + doc_id % 900 AS DOUBLE) AS rms
+FROM documents"""
 
     # recrawl: same closed-form history, estimator mirrored verbatim
     o["recrawl_schedule"] = """

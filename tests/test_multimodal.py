@@ -49,3 +49,57 @@ def test_featurizer_matches_local_numpy(spark):
         hist, _ = np.histogram(arr, bins=mm.FEATURE_DIM, range=(0, 256))
         expected = np.round(hist / hist.sum(), 6)
         assert np.allclose(got[r.doc_id], expected, atol=1e-6)
+
+
+def test_bmp_roundtrip_odd_width_and_orientation():
+    import numpy as np
+
+    from hiispider_spark.operators import multimodal as mm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"nope")
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from hiispider_spark.operators import multimodal as mm
+
+    s = np.array([100, -100, 100, -100], dtype=np.int16)
+    sr, out = mm.decode_wav(mm.encode_wav(s, sample_rate=16000))
+    assert sr == 16000 and list(out) == list(s)
+
+
+def test_bmp_features_real_decode(spark):
+    from hiispider_spark.operators import multimodal as mm
+
+    docs = spark.range(50).toDF("doc_id")
+    got = {
+        r.doc_id: r
+        for r in mm.bmp_features(mm.synth_bmp_media(docs)).collect()
+    }
+    for d in range(50):
+        r = got[d]
+        assert (r.width, r.height) == (8, 8)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            float((7 * d + 2) % 256),
+            float((3 * d + 1) % 256),
+            float(d % 256),
+        )
+
+
+def test_wav_features_real_decode(spark):
+    from hiispider_spark.operators import multimodal as mm
+
+    docs = spark.range(40).toDF("doc_id")
+    got = {
+        r.doc_id: r
+        for r in mm.wav_features(mm.synth_wav_media(docs)).collect()
+    }
+    for d in range(40):
+        r = got[d]
+        assert r.sample_rate == 8000
+        assert r.n_samples == 64 + d % 64
+        assert r.rms == float(100 + d % 900)
