@@ -616,6 +616,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["recrawl_schedule"] = q_recrawl_schedule
 
+    def q_redirect_resolve(spark, sf):
+        # redirect chains over a closed-form functional graph: docs in
+        # chains of 4 (pos = doc_id%4), chain c = doc_id div 4 ends at
+        # page URL c%50 — except every 11th chain loops back on itself
+        # (the crawl-trap case). Pointer-doubling resolver must emit
+        # the exact terminal + hop count, or flag the cycle.
+        from hiispider_spark.operators import redirects as rd
+
+        edges = _docs(spark, sf).select(
+            F.expr(
+                "printf('http://r%03d.example.org/a/%d',"
+                " cast((doc_id div 4) % 37 as int), doc_id)"
+            ).alias("src_url"),
+            F.expr(
+                "CASE WHEN doc_id % 4 < 3 THEN"
+                " printf('http://r%03d.example.org/a/%d',"
+                "        cast((doc_id div 4) % 37 as int), doc_id + 1)"
+                " WHEN (doc_id div 4) % 11 = 0 THEN"
+                " printf('http://r%03d.example.org/a/%d',"
+                "        cast((doc_id div 4) % 37 as int), doc_id - 3)"
+                " ELSE printf('http://h%04d.example.org/p/%d',"
+                "             cast((doc_id div 4) % 50 as int), doc_id div 4)"
+                " END"
+            ).alias("dst_url"),
+        )
+        return rd.resolve_redirects(edges, max_hops=8)
+
+    q["redirect_resolve"] = q_redirect_resolve
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1536,6 +1565,40 @@ SELECT url, n_polls, n_changes,
   to_timestamp(CAST(epoch(last_ts) AS BIGINT)
                + CAST(floor(interval_raw) AS BIGINT)) AS next_fetch_ts
 FROM iv"""
+
+    # redirects: same closed-form functional graph; oracle follows the
+    # edges independently via a recursive walk (not the closed form),
+    # so chain terminals, hop counts, and cycle flags are all checked
+    o["redirect_resolve"] = """
+WITH RECURSIVE edges AS (
+  SELECT printf('http://r%03d.example.org/a/%d',
+                CAST((doc_id // 4) % 37 AS INT), doc_id) AS src,
+         CASE WHEN doc_id % 4 < 3 THEN
+                printf('http://r%03d.example.org/a/%d',
+                       CAST((doc_id // 4) % 37 AS INT), doc_id + 1)
+              WHEN (doc_id // 4) % 11 = 0 THEN
+                printf('http://r%03d.example.org/a/%d',
+                       CAST((doc_id // 4) % 37 AS INT), doc_id - 3)
+              ELSE printf('http://h%04d.example.org/p/%d',
+                          CAST((doc_id // 4) % 50 AS INT), doc_id // 4)
+         END AS dst
+  FROM documents
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 8
+),
+term AS (
+  SELECT w.src, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+),
+srcs AS (SELECT DISTINCT src FROM edges)
+SELECT s.src AS src_url, t.cur AS final_url, CAST(t.hops AS INT) AS n_hops,
+       t.src IS NULL AS is_cycle
+FROM srcs s LEFT JOIN term t ON t.src = s.src"""
 
     from hiispider_spark.operators import traps as _tr
 

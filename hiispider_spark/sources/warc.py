@@ -40,6 +40,7 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("warc_ts", T.TimestampType(), True),
         T.StructField("html", T.BinaryType(), True),
         T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("redirect", T.StringType(), True),
         T.StructField("source_file", T.StringType(), True),
     ]
 )
@@ -66,19 +67,29 @@ def _parse_header_block(block: bytes) -> dict[str, str]:
     return headers
 
 
-def _http_body(payload: bytes) -> tuple[int | None, bytes]:
-    """Split an HTTP response payload into (status, body). A payload
-    that is not an HTTP message (e.g. resource records) comes back as
-    (None, payload)."""
+def _http_response(
+    payload: bytes,
+) -> tuple[int | None, bytes, str | None]:
+    """Split an HTTP response payload into (status, body, location).
+    A payload that is not an HTTP message (e.g. resource records)
+    comes back as (None, payload, None). ``location`` is the raw
+    Location header value (redirect target), unresolved."""
     if not payload.startswith(b"HTTP/"):
-        return None, payload
+        return None, payload, None
     head, sep, body = payload.partition(_CRLF + _CRLF)
     if not sep:
-        return None, payload
+        return None, payload, None
     try:
         status = int(head.split(_CRLF, 1)[0].split(b" ")[1])
     except (IndexError, ValueError):
         status = None
+    location = _parse_header_block(head).get("location") or None
+    return status, body, location
+
+
+def _http_body(payload: bytes) -> tuple[int | None, bytes]:
+    """(status, body) — see :func:`_http_response`."""
+    status, body, _ = _http_response(payload)
     return status, body
 
 
@@ -136,8 +147,11 @@ def _ts(value: str | None):
 def read_warc(files: DataFrame) -> DataFrame:
     """(path, content) rows — e.g. ``spark.read.format("binaryFile")``
     over a WARC directory — → pages-shaped rows, one per ``response``
-    record: (url, warc_ts, html, http_status, source_file)."""
+    record: (url, warc_ts, html, http_status, redirect, source_file).
+    ``redirect`` is the 3xx Location target resolved against the
+    record URL (relative Locations are legal per RFC 9110 §10.2.2)."""
     import pandas as pd
+    from urllib.parse import urljoin
 
     cols = files.select("path", "content")
 
@@ -146,13 +160,18 @@ def read_warc(files: DataFrame) -> DataFrame:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 rows = []
                 for rec in parse_warc_bytes(bytes(blob)):
-                    status, body = _http_body(rec["payload"])
+                    status, body, location = _http_response(rec["payload"])
+                    url = rec["headers"].get("warc-target-uri")
+                    redirect = None
+                    if location and status and 300 <= status < 400:
+                        redirect = urljoin(url or "", location)
                     rows.append(
                         (
-                            rec["headers"].get("warc-target-uri"),
+                            url,
                             _ts(rec["headers"].get("warc-date")),
                             body,
                             status,
+                            redirect,
                             path,
                         )
                     )
@@ -166,16 +185,19 @@ def read_warc(files: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------------------- writer
 def build_warc_bytes(
-    records: list[tuple[str, str, int, bytes]], compress: bool = False
+    records: list[tuple], compress: bool = False
 ) -> bytes:
-    """Serialize (url, iso_ts, status, body) rows as a WARC 1.0 archive
-    of ``response`` records — the test/fixture-side inverse of
-    :func:`parse_warc_bytes`. ``compress=True`` gzips each record as
-    its own member (the Common Crawl layout)."""
+    """Serialize (url, iso_ts, status, body[, location]) rows as a
+    WARC 1.0 archive of ``response`` records — the test/fixture-side
+    inverse of :func:`parse_warc_bytes`. ``compress=True`` gzips each
+    record as its own member (the Common Crawl layout)."""
     out = io.BytesIO()
-    for i, (url, iso_ts, status, body) in enumerate(records):
+    for i, rec_tuple in enumerate(records):
+        url, iso_ts, status, body = rec_tuple[:4]
+        location = rec_tuple[4] if len(rec_tuple) > 4 else None
+        loc_hdr = f"Location: {location}\r\n" if location else ""
         http = (
-            f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n"
+            f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n{loc_hdr}"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode() + body
         head = (
