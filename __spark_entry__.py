@@ -645,6 +645,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["redirect_resolve"] = q_redirect_resolve
 
+    def q_sitemap_parse(spark, sf):
+        # closed-form sitemap XML per doc (3 <url> entries with
+        # optional fields + an entity-escaped loc), parsed by the REAL
+        # regexp parser — the oracle emits the expected rows directly
+        from hiispider_spark.sources import sitemap as smod
+
+        cf = "'always','hourly','daily','weekly','monthly','yearly','never'"
+        block = (
+            "concat('<url><loc>',"
+            " printf('http://s%03d.example.org/p/%d', cast(doc_id % 97 as int),"
+            "        3*doc_id + {j}),"
+            " CASE WHEN {j} = 0 AND doc_id % 5 = 0"
+            "      THEN '?a=1&amp;b=2' ELSE '' END,"
+            " '</loc>',"
+            " CASE WHEN {j} < 2 THEN printf('<lastmod>2024-01-%02d</lastmod>',"
+            "      cast(1 + (3*doc_id + {j}) % 28 as int)) ELSE '' END,"
+            " CASE WHEN {j} <> 1 THEN concat('<changefreq>',"
+            "      array({cf})[(cast(doc_id as int) + {j}) % 7],"
+            "      '</changefreq>') ELSE '' END,"
+            " CASE WHEN {j} <> 2 THEN printf('<priority>%.1f</priority>',"
+            "      cast((3*doc_id + {j}) % 11 as double) / 10.0) ELSE '' END,"
+            " '</url>')"
+        )
+        body = (
+            "concat('<?xml version=\"1.0\"?><urlset>', "
+            + ", ".join(block.format(j=j, cf=cf) for j in (0, 1, 2))
+            + ", '</urlset>')"
+        )
+        docs = _docs(spark, sf).select(
+            F.expr(
+                "printf('http://s%03d.example.org/sitemap_%d.xml',"
+                " cast(doc_id % 97 as int), doc_id)"
+            ).alias("url"),
+            F.encode(F.expr(body), "UTF-8").alias("body"),
+        )
+        return smod.with_interval_hint(smod.parse_sitemaps(docs))
+
+    q["sitemap_parse"] = q_sitemap_parse
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1599,6 +1638,39 @@ srcs AS (SELECT DISTINCT src FROM edges)
 SELECT s.src AS src_url, t.cur AS final_url, CAST(t.hops AS INT) AS n_hops,
        t.src IS NULL AS is_cycle
 FROM srcs s LEFT JOIN term t ON t.src = s.src"""
+
+    # sitemap: the Spark side renders closed-form XML and runs the real
+    # parser; the oracle emits the expected parsed rows directly
+    o["sitemap_parse"] = """
+WITH cf AS (
+  SELECT ['always','hourly','daily','weekly','monthly','yearly','never'] AS l
+),
+ent AS (
+  SELECT doc_id AS d, j, 3*doc_id + j AS p
+  FROM documents, unnest([0,1,2]) AS t(j)
+)
+SELECT
+  printf('http://s%03d.example.org/sitemap_%d.xml', CAST(d % 97 AS INT), d)
+    AS sitemap_url,
+  printf('http://s%03d.example.org/p/%d%s', CAST(d % 97 AS INT), p,
+         CASE WHEN j = 0 AND d % 5 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+  CASE WHEN j < 2
+       THEN TIMESTAMP '2024-01-01 00:00:00' + (p % 28) * INTERVAL 1 DAY
+  END AS lastmod,
+  CASE WHEN j <> 1 THEN l[CAST((d + j) % 7 AS INT) + 1] END AS changefreq,
+  CASE WHEN j <> 2 THEN round((p % 11) / 10.0, 1) ELSE 0.5 END AS priority,
+  CAST(CASE WHEN j = 1 THEN NULL
+       ELSE CASE l[CAST((d + j) % 7 AS INT) + 1]
+              WHEN 'always'  THEN 60.0
+              WHEN 'hourly'  THEN 3600.0
+              WHEN 'daily'   THEN 86400.0
+              WHEN 'weekly'  THEN 604800.0
+              WHEN 'monthly' THEN 2592000.0
+              WHEN 'yearly'  THEN 31536000.0
+              WHEN 'never'   THEN 31536000.0
+            END
+  END AS DOUBLE) AS interval_hint_s
+FROM ent, cf"""
 
     from hiispider_spark.operators import traps as _tr
 
