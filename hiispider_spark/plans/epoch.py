@@ -101,6 +101,10 @@ class EpochConfig:
     state_deltas: bool = True
     compact_every: int = 8
     compact_delta_rows: int = 4_000_000
+    # Reclaim superseded version dirs right after a compaction commits
+    # (catalog.vacuum — Iceberg expire_snapshots analogue). Off only
+    # for debugging/forensics on dead snapshots.
+    vacuum_after_compact: bool = True
     # Crawl-trap guard (operators/traps.py): hosts whose newly
     # discovered links this epoch exceed trap_min_urls AND show a
     # pathological URL shape (segment repetition / depth / query-param
@@ -535,6 +539,7 @@ def run_epoch(
         )
     _mark("plan_writes")
     write_walls: dict[str, float] = {}
+    compacted: list[str] = []
 
     def _timed(name: str, job) -> None:
         t0 = time.time()
@@ -563,6 +568,7 @@ def run_epoch(
                 or cat.delta_row_count(tbl) >= cfg.compact_delta_rows
             ):
                 cat.compact(tbl)
+                compacted.append(tbl)
                 if tbl == "frontier":
                     # membership ≡ the compacted frontier: swap
                     # seen_exact to reference exactly those bucket
@@ -593,6 +599,12 @@ def run_epoch(
         if fs is not None:
             stats["frontier_size"] = fs
     cat.commit(epoch=e)
+    if compacted and cfg.vacuum_after_compact:
+        # compaction just superseded this table's delta files and the
+        # rewritten bucket dirs' old versions; reclaim them now (O(files)
+        # driver-side, no job). Safe here: the commit landed and every
+        # frame this epoch materialized is persisted or consumed.
+        cat.vacuum()
     for df in (
         sl, bucketed, bucketed_raw, fetched, fetched_meta, failed,
         extracted_new, hashed, inserted,

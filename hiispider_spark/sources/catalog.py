@@ -537,6 +537,57 @@ class IcebergLike:
         self.manifest = new
         self._staged = {}
 
+    def vacuum(self) -> list[str]:
+        """Delete version directories (and partition subdirectories)
+        that no committed or staged manifest entry references — the
+        Iceberg ``expire_snapshots + remove_orphan_files`` analogue.
+        Returns the removed rel paths.
+
+        Superseded files accumulate from every partition overwrite and
+        compaction (the manifest holds only the CURRENT snapshot, so a
+        replaced version dir is dead the moment the commit lands); at
+        10^10 scale an unvacuumed catalog grows without bound. The live
+        set spans ALL tables' paths, so by-reference entries
+        (``seen_exact`` → frontier files) protect their targets even
+        after the owning table moved on.
+
+        Granularity: a whole version dir when nothing inside it is
+        live, else just its dead ``_pid=N`` children (partition
+        overwrite carries untouched buckets over by reference INTO old
+        version dirs, so those dirs stay partially live).
+
+        Contract (same as Iceberg expire): call AFTER commit, and not
+        while lazy DataFrames from older snapshots are still to be
+        executed in this process — their file lists are already bound.
+        """
+        live: set[str] = set()
+        for cname in self.manifest["tables"]:
+            live |= set(self._entry_paths(self.manifest["tables"][cname]))
+        for entry in self._staged.values():
+            live |= set(self._entry_paths(entry))
+        removed: list[str] = []
+        for tdir in sorted(os.listdir(self.root)):
+            tabs = os.path.join(self.root, tdir)
+            if not os.path.isdir(tabs):
+                continue
+            for ver in sorted(os.listdir(tabs)):
+                rel = f"{tdir}/{ver}"
+                vabs = os.path.join(tabs, ver)
+                if not os.path.isdir(vabs) or rel in live:
+                    continue
+                children = sorted(os.listdir(vabs))
+                if not any(f"{rel}/{c}" in live for c in children):
+                    shutil.rmtree(vabs, ignore_errors=True)
+                    removed.append(rel)
+                    continue
+                for c in children:
+                    crel = f"{rel}/{c}"
+                    cabs = os.path.join(vabs, c)
+                    if os.path.isdir(cabs) and crel not in live:
+                        shutil.rmtree(cabs, ignore_errors=True)
+                        removed.append(crel)
+        return removed
+
     def rollback_staged(self) -> None:
         """Drop staged (uncommitted) writes — crash-recovery analogue.
 
