@@ -684,6 +684,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_parse"] = q_sitemap_parse
 
+    def q_decontamination(spark, sf):
+        # eval set = 25-token windows lifted verbatim from every 10th
+        # training doc (tokens 6..30) — the planted contamination the
+        # 8-gram overlap join must find, plus whatever duplicate-text
+        # docs legitimately share those windows
+        from hiispider_spark.operators import contamination as ct
+        from hiispider_spark.operators.dedup import tokens_col
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        ev = docs.filter(F.expr("doc_id % 10 = 0")).select(
+            F.expr("doc_id div 10").alias("eval_id"),
+            F.array_join(
+                F.slice(tokens_col(F.col("text")), 6, 25), " "
+            ).alias("text"),
+        )
+        return ct.ngram_contamination(docs, ev, n=8)
+
+    q["decontamination"] = q_decontamination
+
+    def q_unigram_logprob(spark, sf):
+        # self-trained unigram LM fit per doc (perplexity proxy)
+        return ql.unigram_logprob(_docs(spark, sf), "doc_id", "text")
+
+    q["unigram_logprob"] = q_unigram_logprob
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1671,6 +1696,49 @@ SELECT
             END
   END AS DOUBLE) AS interval_hint_s
 FROM ent, cf"""
+
+    # decontamination: same tokenizer as span_dedup's twin; eval docs
+    # are closed-form windows of training docs
+    o["decontamination"] = """
+WITH base AS (
+  SELECT doc_id, [w FOR w IN string_split(text, ' ') IF w <> ''] AS toks
+  FROM documents
+),
+tr AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS k
+  FROM base, LATERAL unnest(range(1, len(toks) - 6)) t(i)
+),
+evdoc AS (
+  SELECT doc_id // 10 AS eval_id, toks[6:30] AS etoks
+  FROM base WHERE doc_id % 10 = 0
+),
+ev AS (
+  SELECT DISTINCT eval_id, array_to_string(etoks[i:i+7], ' ') AS k
+  FROM evdoc, LATERAL unnest(range(1, len(etoks) - 6)) t(i)
+),
+evtot AS (SELECT eval_id, count(*) AS eval_ngrams FROM ev GROUP BY 1),
+hits AS (
+  SELECT tr.doc_id, ev.eval_id, count(*) AS n_shared
+  FROM tr JOIN ev USING (k) GROUP BY 1, 2
+)
+SELECT h.eval_id, h.doc_id, h.n_shared, t.eval_ngrams,
+       round(h.n_shared / t.eval_ngrams, 6) AS shared_frac
+FROM hits h JOIN evtot t USING (eval_id)"""
+
+    # unigram LM fit: same lowercased tokenizer; ln(c/N) averaged per doc
+    o["unigram_logprob"] = """
+WITH base AS (
+  SELECT doc_id,
+         [w FOR w IN string_split(lower(text), ' ') IF w <> ''] AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM base),
+freq AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c / n)), 6) AS mean_logprob
+FROM tok JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id"""
 
     from hiispider_spark.operators import traps as _tr
 

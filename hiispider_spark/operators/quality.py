@@ -225,3 +225,57 @@ def source_cap(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    lm_docs: DataFrame | None = None,
+    alpha: float = 0.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob) — per-document mean unigram
+    log-probability, the cheap LM-perplexity proxy (CCNet-style
+    quality bucketing scores docs by LM fit; a unigram model is the
+    degenerate-but-distributable case and already separates gibberish
+    / boilerplate tails from typical text).
+
+    ``lm_docs``: corpus the model is estimated on (default: ``docs``
+    itself — every token in-vocabulary, so ``alpha`` may be 0). When
+    scoring against a DIFFERENT reference corpus pass ``alpha > 0``
+    (add-alpha smoothing); OOV tokens then score
+    ln(alpha / (N + alpha·V)).
+
+    Shape: two corpus passes (train counts, score join), both explode →
+    map-side-combinable groupBy; the token→count table broadcasts while
+    vocabulary is small (``broadcast_lm``), else a shuffled join keyed
+    by token. Zero Python.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    toks_lm = lm.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w")
+    )
+    freq = toks_lm.groupBy("w").agg(F.count("*").alias("c"))
+    totals = freq.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    dtoks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w"),
+    )
+    freq_side = F.broadcast(freq) if broadcast_lm else freq
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+    )
+    return (
+        dtoks.join(freq_side, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("mean_logprob"),
+        )
+    )

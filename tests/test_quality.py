@@ -115,3 +115,40 @@ def test_source_cap(docs):
 def test_source_cap_plans_window_group_limit(docs):
     plan = ql.source_cap(docs, "doc_id", "text", k=1)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_unigram_logprob_hand_math(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           ql.unigram_logprob(docs, "doc_id", "text").collect()}
+    # corpus counts: a=2, b=2, c=1, N=5
+    exp0 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp1 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert got[0].n_tokens == 3 and abs(got[0].mean_logprob - exp0) < 1e-6
+    assert got[1].n_tokens == 2 and abs(got[1].mean_logprob - exp1) < 1e-6
+
+
+def test_unigram_logprob_reference_corpus_oov(spark):
+    import math
+
+    lm = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    docs = spark.createDataFrame([(7, "a z")], "doc_id long, text string")
+    (row,) = ql.unigram_logprob(
+        docs, "doc_id", "text", lm_docs=lm, alpha=1.0
+    ).collect()
+    # N=3, V=2: p(a)=(2+1)/(3+2), p(z OOV)=1/(3+2)
+    exp = (math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert abs(row.mean_logprob - exp) < 1e-6
+
+
+def test_unigram_logprob_separates_gibberish(spark):
+    rows = [(i, "the cat sat on the mat near the door") for i in range(20)]
+    rows.append((99, "zxqv wkjr pqmz xvbn qwrt"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.mean_logprob for r in
+           ql.unigram_logprob(docs, "doc_id", "text").collect()}
+    assert got[99] < got[0] - 1.0  # rare-token doc scores far lower
