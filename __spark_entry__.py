@@ -709,6 +709,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_logprob"] = q_unigram_logprob
 
+    def q_anchor_stats(spark, sf):
+        # closed-form pages: doc d carries two anchors j∈{0,1} →
+        # target (2d+j+1) % n_docs labeled 'label (d+j)%3'; the REAL
+        # regexp extractor + top-k summary run against that html
+        from hiispider_spark.operators import links as lk
+
+        docs = _docs(spark, sf).select("doc_id")
+        n = docs.count()
+        html = F.expr(
+            "concat('<html><body>',"
+            f" printf('<a href=\"http://a.example.org/p/%d\">label %d</a>',"
+            f"        (2*doc_id + 1) % {n}, doc_id % 3),"
+            f" printf('<a href=\"http://a.example.org/p/%d\">label %d</a>',"
+            f"        (2*doc_id + 2) % {n}, (doc_id + 1) % 3),"
+            " '</body></html>')"
+        )
+        pages = docs.select(
+            F.expr("printf('http://a.example.org/p/%d', doc_id)").alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return lk.anchor_summary(lk.anchor_texts(pages), top_k=2)
+
+    q["anchor_stats"] = q_anchor_stats
+
+    def q_canonical_resolve(spark, sf):
+        # the redirect_resolve functional graph re-declared as
+        # <link rel="canonical"> elements: parse → same pointer-doubling
+        # resolver; chains end at a page URL, every 11th chain loops
+        from hiispider_spark.operators import links as lk
+        from hiispider_spark.operators import redirects as rd
+
+        dst = (
+            "CASE WHEN doc_id % 4 < 3 THEN"
+            " printf('http://c%03d.example.org/a/%d',"
+            "        cast((doc_id div 4) % 37 as int), doc_id + 1)"
+            " WHEN (doc_id div 4) % 11 = 0 THEN"
+            " printf('http://c%03d.example.org/a/%d',"
+            "        cast((doc_id div 4) % 37 as int), doc_id - 3)"
+            " ELSE printf('http://h%04d.example.org/p/%d',"
+            "             cast((doc_id div 4) % 50 as int), doc_id div 4)"
+            " END"
+        )
+        pages = _docs(spark, sf).select(
+            F.expr(
+                "printf('http://c%03d.example.org/a/%d',"
+                " cast((doc_id div 4) % 37 as int), doc_id)"
+            ).alias("url"),
+            F.encode(
+                F.expr(
+                    "concat('<html><head><link rel=\"canonical\" href=\"',"
+                    f" {dst},"
+                    " '\"></head><body>x</body></html>')"
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return rd.resolve_redirects(lk.canonical_edges(pages), max_hops=8)
+
+    q["canonical_resolve"] = q_canonical_resolve
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1739,6 +1799,68 @@ SELECT doc_id, count(*) AS n_tokens,
        round(avg(ln(c / n)), 6) AS mean_logprob
 FROM tok JOIN freq USING (w) CROSS JOIN tot
 GROUP BY doc_id"""
+
+    # anchor stats: expected rows from the closed-form link layout
+    o["anchor_stats"] = """
+WITH par AS (SELECT count(*) AS n FROM documents),
+an AS (
+  SELECT printf('http://a.example.org/p/%d', doc_id) AS src,
+         printf('http://a.example.org/p/%d', (2*doc_id + j + 1) % n) AS dst_url,
+         printf('label %d', (doc_id + j) % 3) AS anchor
+  FROM documents, par, unnest([0, 1]) t(j)
+),
+per AS (
+  SELECT dst_url, anchor, count(*) AS anchor_n,
+         count(DISTINCT src) AS n_src
+  FROM an GROUP BY 1, 2
+),
+tot AS (
+  SELECT dst_url, sum(anchor_n) AS n_refs, sum(n_src) AS n_sources
+  FROM per GROUP BY 1
+),
+rk AS (
+  SELECT dst_url, anchor, anchor_n,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY anchor_n DESC, anchor ASC) AS rank
+  FROM per
+)
+SELECT r.dst_url, CAST(t.n_refs AS BIGINT) AS n_refs,
+       CAST(t.n_sources AS BIGINT) AS n_sources,
+       r.anchor, r.anchor_n, CAST(r.rank AS INT) AS rank
+FROM rk r JOIN tot t USING (dst_url) WHERE r.rank <= 2"""
+
+    # canonical chains: same recursive-walk oracle as redirect_resolve,
+    # over the rel=canonical edge construction (c-prefixed alias URLs)
+    o["canonical_resolve"] = """
+WITH RECURSIVE edges AS (
+  SELECT printf('http://c%03d.example.org/a/%d',
+                CAST((doc_id // 4) % 37 AS INT), doc_id) AS src,
+         CASE WHEN doc_id % 4 < 3 THEN
+                printf('http://c%03d.example.org/a/%d',
+                       CAST((doc_id // 4) % 37 AS INT), doc_id + 1)
+              WHEN (doc_id // 4) % 11 = 0 THEN
+                printf('http://c%03d.example.org/a/%d',
+                       CAST((doc_id // 4) % 37 AS INT), doc_id - 3)
+              ELSE printf('http://h%04d.example.org/p/%d',
+                          CAST((doc_id // 4) % 50 AS INT), doc_id // 4)
+         END AS dst
+  FROM documents
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 8
+),
+term AS (
+  SELECT w.src, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+),
+srcs AS (SELECT DISTINCT src FROM edges)
+SELECT s.src AS src_url, t.cur AS final_url, CAST(t.hops AS INT) AS n_hops,
+       t.src IS NULL AS is_cycle
+FROM srcs s LEFT JOIN term t ON t.src = s.src"""
 
     from hiispider_spark.operators import traps as _tr
 
