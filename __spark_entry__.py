@@ -769,6 +769,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["canonical_resolve"] = q_canonical_resolve
 
+    def q_scope_filter(spark, sf):
+        # one URL per doc cycling through every scope rule; the REAL
+        # filter classifies, the oracle emits expected labels
+        from hiispider_spark.operators import scope as sco
+
+        u = F.expr(
+            "CASE cast(doc_id % 7 as int)"
+            " WHEN 0 THEN printf('mailto:user%d@example.org', doc_id)"
+            " WHEN 1 THEN concat('http://h.example.org/', repeat('x', 2100))"
+            " WHEN 2 THEN printf('http://blocked.example.org/p/%d', doc_id)"
+            " WHEN 3 THEN printf('http://h%d.example.org/img/%d.jpg',"
+            "                    doc_id % 9, doc_id)"
+            " WHEN 4 THEN concat('http://h.example.org', repeat('/s', 20),"
+            "                    printf('/%d', doc_id))"
+            " WHEN 5 THEN printf('http://h%d.example.org/p/%d.html',"
+            "                    doc_id % 9, doc_id)"
+            " ELSE printf('https://h%d.example.org/p/%d?a=1',"
+            "             doc_id % 9, doc_id)"
+            " END"
+        )
+        urls = _docs(spark, sf).select(u.alias("url"))
+        blocked = spark.createDataFrame(
+            [("blocked.example.org",)], "host string"
+        )
+        return sco.scope_filter(urls, blocked_hosts=blocked)
+
+    q["scope_filter"] = q_scope_filter
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1723,6 +1751,31 @@ srcs AS (SELECT DISTINCT src FROM edges)
 SELECT s.src AS src_url, t.cur AS final_url, CAST(t.hops AS INT) AS n_hops,
        t.src IS NULL AS is_cycle
 FROM srcs s LEFT JOIN term t ON t.src = s.src"""
+
+    # scope: expected classification per closed-form URL family
+    o["scope_filter"] = """
+WITH u AS (
+  SELECT doc_id, CAST(doc_id % 7 AS INT) AS m,
+    CASE CAST(doc_id % 7 AS INT)
+      WHEN 0 THEN printf('mailto:user%d@example.org', doc_id)
+      WHEN 1 THEN concat('http://h.example.org/', repeat('x', 2100))
+      WHEN 2 THEN printf('http://blocked.example.org/p/%d', doc_id)
+      WHEN 3 THEN printf('http://h%d.example.org/img/%d.jpg',
+                         doc_id % 9, doc_id)
+      WHEN 4 THEN concat('http://h.example.org', repeat('/s', 20),
+                         printf('/%d', doc_id))
+      WHEN 5 THEN printf('http://h%d.example.org/p/%d.html',
+                         doc_id % 9, doc_id)
+      ELSE printf('https://h%d.example.org/p/%d?a=1', doc_id % 9, doc_id)
+    END AS url
+  FROM documents
+)
+SELECT url,
+  CASE m WHEN 0 THEN 'scheme' WHEN 1 THEN 'too_long'
+         WHEN 2 THEN 'blocked_host' WHEN 3 THEN 'extension'
+         WHEN 4 THEN 'depth' END AS reason,
+  m >= 5 AS in_scope
+FROM u"""
 
     # sitemap: the Spark side renders closed-form XML and runs the real
     # parser; the oracle emits the expected parsed rows directly

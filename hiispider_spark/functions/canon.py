@@ -122,11 +122,18 @@ def canonical_url_col(url: Column) -> Column:
 
 
 def host_col(url: Column) -> Column:
-    """Host of a URL — JVM-side ``parse_url`` (O-16), lowercased."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    """Host of a URL — JVM-side ``try_parse_url`` (O-16), lowercased.
+
+    The ``try_`` variant is load-bearing: crawled pages carry garbage
+    hrefs (``mailto:``, ``javascript:``, bare fragments) and Spark 4's
+    ``parse_url`` RAISES on them under ANSI — one malformed link must
+    cost NULL, not the epoch (found by test_scope's unguarded-epoch
+    drive)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def path_col(url: Column) -> Column:
-    """Path of a URL (for robots prefix matching), '' → '/'."""
-    p = F.parse_url(url, F.lit("PATH"))
+    """Path of a URL (for robots prefix matching), '' → '/'.
+    ``try_parse_url``: total over malformed inputs (see host_col)."""
+    p = F.try_parse_url(url, F.lit("PATH"))
     return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)

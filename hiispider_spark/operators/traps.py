@@ -53,7 +53,8 @@ def seg_repeat_frac_col(url: Column) -> Column:
 
 
 def n_query_params_col(url: Column) -> Column:
-    q = F.parse_url(url, F.lit("QUERY"))
+    # try_: malformed hrefs must yield NULL, not raise (see canon.host_col)
+    q = F.try_parse_url(url, F.lit("QUERY"))
     return (
         F.when(q.isNull() | (q == ""), F.lit(0))
         .otherwise(F.size(F.split(q, "&")))

@@ -114,6 +114,13 @@ class EpochConfig:
     # fixtures pin the unguarded ordering.
     trap_guard: bool = False
     trap_min_urls: int = 10_000
+    # Scope guard (operators/scope.py): drop out-of-scope discovered
+    # links (non-http schemes, media extensions, over-long/deep URLs)
+    # BEFORE canonicalization/hashing — a narrow filter that spares the
+    # SipHash, the bloom probe, and the frontier row. Default off: the
+    # synthetic corpus emits only in-scope links (no behavior change),
+    # and golden fixtures pin the unguarded path.
+    scope_guard: bool = False
     # Adaptive recrawl (operators/recrawl.py): reschedule successful
     # fetches at clamp(1/λ̂) from the page_cache change counters instead
     # of the row's fixed interval_s — static pages drift toward
@@ -309,9 +316,16 @@ def run_epoch(
         # canonicalize + hash + bucket once, cache — the probe's two
         # branches (bloom-definite-new ∪ exact-checked) both read this
         url = F.col("url")
+        links = explode_items(extracted_new).select(
+            F.col("payload").alias("link")
+        )
+        if cfg.scope_guard:
+            from hiispider_spark.operators import scope as sco
+
+            links = sco.filter_in_scope(links, url_col="link")
         hashed = (
-            explode_items(extracted_new)
-            .select(canonical_url_col(F.col("payload")).alias("url"))
+            links
+            .select(canonical_url_col(F.col("link")).alias("url"))
             .dropDuplicates(["url"])
             .withColumn("url_hash", url_hash_udf(url))
             .withColumn("host", host_col(url))
