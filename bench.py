@@ -252,6 +252,9 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         "host_stats",
         "seen_antijoin",
         "politeness_budget",
+        "redirect_resolve",
+        "decontamination",
+        "scope_filter",
     ]
     spark = get_spark(app="bench-queries", cpus=cpus, shuffle_partitions=32)
     out: dict[str, float] = {}
