@@ -146,3 +146,26 @@ def robots_rows(
             "crawl_delay"
         ),
     )
+
+
+def sitemap_urls(
+    robots_docs, host_col: str = "host", body_col: str = "body"
+):
+    """(host, sitemap_url) — ``Sitemap:`` directives from robots.txt
+    bodies: the standard discovery edge from robots fetch to sitemap
+    ingestion (sources/sitemap.py). Directives are GROUP-INDEPENDENT
+    (sitemaps.org protocol / RFC 9309 §2.3 extension convention), so
+    this is one JVM regexp per body — no UDF, no group logic. Accepts
+    string or binary bodies; case-insensitive, CR/LF tolerant."""
+    body = F.col(body_col)
+    text = F.decode(body, "UTF-8")
+    return robots_docs.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                text,
+                F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+                F.lit(1),
+            )
+        ).alias("sitemap_url"),
+    )

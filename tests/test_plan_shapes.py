@@ -141,3 +141,18 @@ def test_survivor_selection_uses_window_group_limit(spark):
     kept = cl.dedup_survivors(docs, clusters, quality_col="q").filter("keep")
     p = plan_of(kept)
     assert "WindowGroupLimit" in p
+
+
+def test_anchor_summary_uses_window_group_limit(spark):
+    """Top-k anchors per target must plan as WindowGroupLimit so a
+    universally-linked target ('home') never materializes more than k
+    anchor rows per map task."""
+    from hiispider_spark.operators import links as lk
+
+    anchors = spark.range(100).selectExpr(
+        "concat('http://t.org/', id % 5) AS dst_url",
+        "concat('label ', id % 3) AS anchor",
+        "concat('http://s.org/', id) AS src_url",
+    )
+    p = plan_of(lk.anchor_summary(anchors, top_k=2))
+    assert "WindowGroupLimit" in p

@@ -140,3 +140,50 @@ def test_parsed_rules_flow_through_enforcement(spark):
         "http://h.example/p/bad": True,
         "http://h.example/q": False,
     }
+
+
+def test_sitemap_directive_extraction(spark):
+    """Sitemap: lines extract regardless of UA groups, case, CRLF."""
+    from hiispider_spark.functions.robots import sitemap_urls
+
+    body = (
+        b"# header comment\r\n"
+        b"Sitemap: http://a.org/sitemap.xml\r\n"
+        b"User-agent: *\nDisallow: /private\n"
+        b"SITEMAP:http://a.org/sm/news.xml.gz\n"
+        b"user-agent: spider\nAllow: /\n"
+    )
+    docs = spark.createDataFrame([("a.org", body)], "host string, body binary")
+    got = {r.sitemap_url for r in sitemap_urls(docs).collect()}
+    assert got == {
+        "http://a.org/sitemap.xml",
+        "http://a.org/sm/news.xml.gz",
+    }
+
+
+def test_robots_to_sitemap_to_seeds_discovery(spark):
+    """Full discovery chain: robots body → Sitemap directive → sitemap
+    doc → frontier seeds."""
+    from hiispider_spark.functions.robots import sitemap_urls
+    from hiispider_spark.sources import sitemap as sm
+
+    robots = spark.createDataFrame(
+        [("a.org", b"Sitemap: http://a.org/sm.xml\nUser-agent: *\nAllow: /\n")],
+        "host string, body binary",
+    )
+    sm_docs = spark.createDataFrame(
+        [(
+            "http://a.org/sm.xml",
+            b"<urlset><url><loc>http://a.org/p/1</loc>"
+            b"<priority>0.9</priority></url></urlset>",
+        )],
+        "url string, body binary",
+    )
+    refs = sitemap_urls(robots).select(
+        F.col("sitemap_url").alias("url")
+    )
+    referenced = sm_docs.join(refs, "url", "left_semi")
+    seeds = sm.sitemap_seeds(sm.parse_sitemaps(referenced))
+    assert [(r.url, r.priority) for r in seeds.collect()] == [
+        ("http://a.org/p/1", 0.9)
+    ]
