@@ -62,6 +62,12 @@ def test_canonicalize_query_order_invariant(u, perm):
     params = q.split("&")
     if len(params) < 2:
         return
+    # the sort is STABLE by key: same-key params keep file order on
+    # purpose (?a=1&a=0 and ?a=0&a=1 may be different resources), so
+    # the invariance property holds only for distinct-key permutations
+    keys = [p.partition("=")[0] for p in params]
+    if len(set(keys)) != len(keys):
+        return
     shuffled = "&".join(params[i] for i in perm[: len(params)] if i < len(params))
     if sorted(shuffled.split("&")) != sorted(params):
         return
