@@ -797,6 +797,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scope_filter"] = q_scope_filter
 
+    def q_script_profile(spark, sf):
+        # plant non-latin script runs so the profile discriminates
+        from hiispider_spark.operators.textstats import script_profile
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(
+                "concat(text, CASE WHEN doc_id % 3 = 0"
+                " THEN ' мир доброе утро'"
+                " WHEN doc_id % 3 = 1 THEN ' 你好世界'"
+                " ELSE ' καλημέρα' END)"
+            ).alias("text"),
+        )
+        return script_profile(docs, "doc_id", "text")
+
+    q["script_profile"] = q_script_profile
+
+    def q_meta_extract(spark, sf):
+        # closed-form <head> metadata with per-field presence patterns;
+        # the JVM column twin of the meta plugin extracts them
+        from hiispider_spark.operators.extract import meta_extract_cols
+
+        html = F.expr(
+            "concat('<html><head>',"
+            " CASE WHEN doc_id % 2 = 0 THEN"
+            "   printf('<meta name=\"description\" content=\"desc %d\">',"
+            "          doc_id) ELSE '' END,"
+            " CASE WHEN doc_id % 3 = 0 THEN"
+            "   printf('<meta name=\"keywords\" content=\"k%d,k%d\">',"
+            "          doc_id, doc_id + 1) ELSE '' END,"
+            " CASE WHEN doc_id % 5 = 0 THEN"
+            "   printf('<meta property=\"og:title\" content=\"og %d\">',"
+            "          doc_id) ELSE '' END,"
+            " '</head><body>x</body></html>')"
+        )
+        docs = _docs(spark, sf).select(
+            "doc_id", F.encode(html, "UTF-8").alias("html")
+        )
+        cols = meta_extract_cols(F.col("html"))
+        return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+    q["meta_extract"] = q_meta_extract
+
     def q_ann_cosine_topk(spark, sf):
         return sim.brute_force_topk(_emb(spark, sf), list(range(10)), k=5)
 
@@ -1776,6 +1819,71 @@ SELECT url,
          WHEN 4 THEN 'depth' END AS reason,
   m >= 5 AS in_scope
 FROM u"""
+
+    # script profile: same codepoint-range counting in RE2 (\x{..}
+    # escapes ≡ the literal ranges the Spark side embeds)
+    o["script_profile"] = """
+WITH t AS (
+  SELECT doc_id,
+    concat(text, CASE WHEN doc_id % 3 = 0 THEN ' мир доброе утро'
+                      WHEN doc_id % 3 = 1 THEN ' 你好世界'
+                      ELSE ' καλημέρα' END) AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z\\x{00c0}-\\x{024f}]')) AS n_latin,
+    len(regexp_extract_all(text, '[\\x{0400}-\\x{04ff}]')) AS n_cyrillic,
+    len(regexp_extract_all(text, '[\\x{0370}-\\x{03ff}]')) AS n_greek,
+    len(regexp_extract_all(text, '[\\x{0600}-\\x{06ff}]')) AS n_arabic,
+    len(regexp_extract_all(text, '[\\x{0900}-\\x{097f}]')) AS n_devanagari,
+    len(regexp_extract_all(text,
+        '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]')) AS n_cjk
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+    greatest(n_latin + n_cyrillic + n_greek + n_arabic + n_devanagari
+             + n_cjk, 1) AS tot, *
+  FROM c
+),
+r AS (
+  SELECT doc_id,
+    round(n_latin / tot, 6) AS frac_latin,
+    round(n_cyrillic / tot, 6) AS frac_cyrillic,
+    round(n_greek / tot, 6) AS frac_greek,
+    round(n_arabic / tot, 6) AS frac_arabic,
+    round(n_devanagari / tot, 6) AS frac_devanagari,
+    round(n_cjk / tot, 6) AS frac_cjk
+  FROM f
+)
+SELECT *,
+  CASE WHEN greatest(frac_latin, frac_cyrillic, frac_greek, frac_arabic,
+                     frac_devanagari, frac_cjk) = 0 THEN 'unknown'
+       WHEN frac_latin = greatest(frac_latin, frac_cyrillic, frac_greek,
+            frac_arabic, frac_devanagari, frac_cjk) THEN 'latin'
+       WHEN frac_cyrillic = greatest(frac_latin, frac_cyrillic, frac_greek,
+            frac_arabic, frac_devanagari, frac_cjk) THEN 'cyrillic'
+       WHEN frac_greek = greatest(frac_latin, frac_cyrillic, frac_greek,
+            frac_arabic, frac_devanagari, frac_cjk) THEN 'greek'
+       WHEN frac_arabic = greatest(frac_latin, frac_cyrillic, frac_greek,
+            frac_arabic, frac_devanagari, frac_cjk) THEN 'arabic'
+       WHEN frac_devanagari = greatest(frac_latin, frac_cyrillic,
+            frac_greek, frac_arabic, frac_devanagari, frac_cjk)
+            THEN 'devanagari'
+       ELSE 'cjk' END AS main_script
+FROM r"""
+
+    # meta extraction: expected field values per presence pattern
+    o["meta_extract"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN printf('desc %d', doc_id) END
+    AS description,
+  CASE WHEN doc_id % 3 = 0 THEN printf('k%d,k%d', doc_id, doc_id + 1) END
+    AS keywords,
+  CASE WHEN doc_id % 5 = 0 THEN printf('og %d', doc_id) END AS og_title,
+  CAST(NULL AS VARCHAR) AS og_image
+FROM documents"""
 
     # sitemap: the Spark side renders closed-form XML and runs the real
     # parser; the oracle emits the expected parsed rows directly

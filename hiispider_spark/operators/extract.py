@@ -51,6 +51,38 @@ def _anchor_impl(html: pd.Series) -> pd.Series:
     return _decode_utf8(html).str.extract(_HREF_RE, expand=False)
 
 
+#: head-metadata fields: <meta name=...> and OpenGraph <meta
+#: property=...> content values (the common machine-generated forms —
+#: attribute order name/property-then-content, double quotes)
+META_FIELD_RES = {
+    "description": r'<meta\s[^>]*name="description"[^>]*content="([^"]*)"',
+    "keywords": r'<meta\s[^>]*name="keywords"[^>]*content="([^"]*)"',
+    "og_title": r'<meta\s[^>]*property="og:title"[^>]*content="([^"]*)"',
+    "og_image": r'<meta\s[^>]*property="og:image"[^>]*content="([^"]*)"',
+}
+
+
+def _meta_impl(html: pd.Series) -> pd.Series:
+    """Head-metadata plugin: the four fields as a sorted-key JSON
+    object string (absent field → null), the engine's O-14 payload
+    convention. Field extraction is vectorized; only the final
+    dict→JSON assembly walks the batch."""
+    import json as _json
+
+    s = _decode_utf8(html)
+    fields = {
+        k: s.str.extract(rx, expand=False) for k, rx in META_FIELD_RES.items()
+    }
+    frame = pd.DataFrame(fields, index=s.index)
+    return frame.apply(
+        lambda r: _json.dumps(
+            {k: (None if pd.isna(v) else v) for k, v in r.items()},
+            sort_keys=True,
+        ),
+        axis=1,
+    )
+
+
 #: per-URL-routable text plugins (O-10): name -> vectorized impl. The
 #: Spark equivalent of BaseServer.functions — the dict ships inside the
 #: routed UDF's closure (task-broadcast), replacing the reference's
@@ -59,6 +91,7 @@ TEXT_PLUGIN_IMPLS = {
     "text": _text_impl,
     "title": _title_impl,
     "anchor": _anchor_impl,
+    "meta": _meta_impl,
 }
 
 DEFAULT_PLUGIN = "text"
@@ -120,11 +153,29 @@ def evaluate_boolean_col(c: Column) -> Column:
 
 #: plugin registry — the Spark equivalent of BaseServer.functions
 #: (standalone UDFs; per-URL routing goes through routed_extract_udf)
+@F.pandas_udf(T.StringType())
+def meta_extract_udf(html: pd.Series) -> pd.Series:
+    """Head-metadata plugin (description/keywords/og:*) as JSON."""
+    return _meta_impl(html)
+
+
 PLUGINS = {
     "text": text_extract_udf,
     "links": links_extract_udf,
     "title": title_extract_udf,
+    "meta": meta_extract_udf,
 }
+
+
+def meta_extract_cols(html: Column) -> dict[str, Column]:
+    """Column-expression twin of the meta plugin: one JVM regexp per
+    field (codegen'd, oracle-twinnable); missing-or-empty content →
+    NULL."""
+    s = F.decode(html, "UTF-8")
+    return {
+        k: F.nullif(F.regexp_extract(s, rx, 1), F.lit(""))
+        for k, rx in META_FIELD_RES.items()
+    }
 
 
 def text_extract_col(html: Column) -> Column:

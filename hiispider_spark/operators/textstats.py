@@ -133,3 +133,53 @@ def document_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_guess_col(t).alias("lang_guess"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+# Writing-system profile: explicit codepoint ranges (not \p{Script}
+# classes — Java regex says \p{IsHan}, RE2 says \p{Han}; literal ranges
+# parse identically in both engines, the same dialect-subset rule as
+# quality.EMAIL_RE). Ranges cover the dominant blocks, not the full
+# Unicode script inventory — a corpus-routing signal, not a validator.
+SCRIPT_RANGES = {
+    "latin": "A-Za-z\\u00c0-\\u024f",
+    "cyrillic": "\\u0400-\\u04ff",
+    "greek": "\\u0370-\\u03ff",
+    "arabic": "\\u0600-\\u06ff",
+    "devanagari": "\\u0900-\\u097f",
+    "cjk": "\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af",
+}
+
+
+def script_profile_cols(text: Column) -> dict[str, Column]:
+    """Per-script character fractions (of all letter-ish chars counted
+    across the listed scripts) — pure Column regexp_count exprs."""
+    counts = {
+        name: F.regexp_count(text, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    total = F.greatest(
+        sum(counts.values(), F.lit(0).cast("long")), F.lit(1)
+    )
+    return {
+        f"frac_{name}": F.round(c / total, 6) for name, c in counts.items()
+    }
+
+
+def script_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, frac_<script>..., main_script) — routing signal for
+    multilingual corpus pipelines (which tokenizer/LM shard handles the
+    doc). ``main_script`` = argmax fraction, ties broken by the fixed
+    script order; 'unknown' when no counted script chars exist."""
+    fracs = script_profile_cols(F.col(text_col))
+    names = list(SCRIPT_RANGES)
+    best = F.greatest(*[fracs[f"frac_{n}"] for n in names])
+    main = F.lit("unknown")
+    for n in reversed(names):
+        main = F.when(
+            (best > 0) & (fracs[f"frac_{n}"] == best), F.lit(n)
+        ).otherwise(main)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[fracs[f"frac_{n}"].alias(f"frac_{n}") for n in names],
+        main.alias("main_script"),
+    )

@@ -113,3 +113,66 @@ def test_evaluate_boolean(spark):
     )
     got = [r.b for r in df.select(evaluate_boolean_col(F.col("v")).alias("b")).collect()]
     assert got == [True, True, True, False, False, False]
+
+
+def test_meta_plugin_and_column_twin(spark):
+    """meta plugin extracts head metadata as sorted-key JSON; the
+    Column twin yields the same field values."""
+    import json
+
+    from hiispider_spark.operators.extract import (
+        meta_extract_cols,
+        meta_extract_udf,
+    )
+
+    html = (
+        '<html><head><title>t</title>'
+        '<meta name="description" content="A fine page">'
+        '<meta name="keywords" content="a,b,c">'
+        '<meta property="og:title" content="OG Title">'
+        "</head><body>x</body></html>"
+    )
+    bare = "<html><body>no meta</body></html>"
+    df = spark.createDataFrame(
+        [(0, html.encode()), (1, bare.encode())], "id long, html binary"
+    )
+    rows = {
+        r.id: json.loads(r.m)
+        for r in df.select("id", meta_extract_udf("html").alias("m")).collect()
+    }
+    assert rows[0] == {
+        "description": "A fine page",
+        "keywords": "a,b,c",
+        "og_title": "OG Title",
+        "og_image": None,
+    }
+    assert rows[1] == {
+        "description": None, "keywords": None,
+        "og_title": None, "og_image": None,
+    }
+    cols = meta_extract_cols(F.col("html"))
+    twin = df.select(
+        "id", *[c.alias(k) for k, c in cols.items()]
+    ).collect()
+    got = {r.id: r.asDict() for r in twin}
+    assert got[0]["description"] == "A fine page"
+    assert got[0]["og_image"] is None
+    assert got[1]["keywords"] is None
+
+
+def test_meta_plugin_routes(spark):
+    """routed_extract_udf dispatches plugin='meta' rows to the meta
+    impl in the same pass as text rows."""
+    import json
+
+    from hiispider_spark.operators.extract import routed_extract_udf
+
+    html = b'<html><head><meta name="description" content="d"></head><body>body text</body></html>'
+    df = spark.createDataFrame(
+        [(html, "meta"), (html, "text")], "html binary, plugin string"
+    )
+    out = [r.o for r in df.select(
+        routed_extract_udf("html", "plugin").alias("o")
+    ).collect()]
+    assert json.loads(out[0])["description"] == "d"
+    assert "body text" in out[1] and "<" not in out[1]

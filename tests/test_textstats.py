@@ -68,3 +68,24 @@ def test_quality_bounds(spark, tiny_pages):
         F.min("quality").alias("lo"), F.max("quality").alias("hi")
     ).first()
     assert 0.0 <= row.lo <= row.hi <= 1.0
+
+
+def test_script_profile_fractions(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "hello мир"),          # 5 latin + 3 cyrillic
+            (1, "你好世界"),            # 4 cjk
+            (2, "12345 !!!"),          # no script chars
+            (3, "καλημέρα"),           # greek
+        ],
+        "doc_id long, text string",
+    )
+    from hiispider_spark.operators.textstats import script_profile
+
+    got = {r.doc_id: r for r in script_profile(docs, "doc_id", "text").collect()}
+    assert got[0].frac_latin == round(5 / 8, 6)
+    assert got[0].frac_cyrillic == round(3 / 8, 6)
+    assert got[0].main_script == "latin"
+    assert got[1].frac_cjk == 1.0 and got[1].main_script == "cjk"
+    assert got[2].main_script == "unknown"
+    assert got[3].main_script == "greek" and got[3].frac_greek == 1.0
