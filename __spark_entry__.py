@@ -224,7 +224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
         allowed, _ = pol.split_robots(sl, robots)
         empty = spark.createDataFrame([], POLITENESS)
-        bucketed = pol.apply_token_buckets(allowed, empty, EPOCH1_TS, 60.0)
+        # column twin of the pandas grant (row-identical, pytest-pinned)
+        # — pure scheduling analytics, no batched-HTTP stage to host,
+        # so the JVM window form applies
+        bucketed = pol.apply_token_buckets_col(allowed, empty, EPOCH1_TS, 60.0)
         return bucketed.groupBy("host").agg(
             F.sum(F.col("granted").cast("long")).alias("n_granted"),
             F.sum((~F.col("granted")).cast("long")).alias("n_deferred"),
