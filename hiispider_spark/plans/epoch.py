@@ -121,6 +121,12 @@ class EpochConfig:
     # synthetic corpus emits only in-scope links (no behavior change),
     # and golden fixtures pin the unguarded path.
     scope_guard: bool = False
+    # Token-bucket implementation: "pandas" (groupBy(host).applyInPandas
+    # — the BASELINE-mandated form, and the stage where batched live
+    # HTTP executes in production) or "column" (the row-identical JVM
+    # window twin, test-pinned — the fast path when the fetch is a join
+    # and the pandas stage hosts no I/O, as in this sandbox).
+    politeness_impl: str = "pandas"
     # Adaptive recrawl (operators/recrawl.py): reschedule successful
     # fetches at clamp(1/λ̂) from the page_cache change counters instead
     # of the row's fixed interval_s — static pages drift toward
@@ -216,7 +222,12 @@ def run_epoch(
 
     # politeness: robots prefix rules then per-host token buckets
     allowed, denied = pol.split_robots(eligible, robots)
-    bucketed = pol.apply_token_buckets(
+    bucket_fn = (
+        pol.apply_token_buckets_col
+        if cfg.politeness_impl == "column"
+        else pol.apply_token_buckets
+    )
+    bucketed = bucket_fn(
         allowed, cat.read("politeness"), ts, cfg.epoch_seconds
     )
     bucketed_raw = None

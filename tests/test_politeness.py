@@ -272,3 +272,37 @@ def test_column_twin_no_python_in_plan(spark):
     )
     assert "FlatMapGroupsInPandas" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_epoch_byte_identical_under_politeness_impls(spark, tmp_path):
+    """Two full epochs driven with politeness_impl='pandas' vs 'column'
+    commit byte-identical catalogs (frontier/extracted/politeness)."""
+    from hiispider_spark.plans.epoch import EpochConfig, bootstrap, run_epochs
+    from hiispider_spark.sources.catalog import IcebergLike
+    from hiispider_spark.sources.synth import (
+        SynthConfig,
+        synth_pages,
+        synth_robots,
+        synth_seeds,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tiny = SynthConfig(n_pages=300, n_docs=500)
+    pages = synth_pages(spark, sf, tiny).persist()
+    robots = synth_robots(spark, sf, tiny)
+    seeds = synth_seeds(spark, sf, tiny)
+    outs = {}
+    for impl in ("pandas", "column"):
+        cfg = EpochConfig(
+            k_per_partition=6, n_partitions=8, bloom_m_bits=1 << 17,
+            politeness_impl=impl,
+        )
+        cat = IcebergLike(spark, str(tmp_path / impl))
+        bootstrap(spark, cat, seeds, cfg)
+        run_epochs(spark, cat, pages, robots, 2, cfg)
+        outs[impl] = cat
+    for tbl in ("frontier", "extracted", "politeness", "page_cache"):
+        a = sorted(map(tuple, outs["pandas"].read(tbl).collect()))
+        b = sorted(map(tuple, outs["column"].read(tbl).collect()))
+        assert a == b, tbl
+    pages.unpersist()
