@@ -235,6 +235,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["politeness_budget"] = q_politeness_budget
 
+    def q_politeness_host_cap(spark, sf):
+        # rate budget ∧ per-host concurrency ceiling (the reference's
+        # max_simultaneous_requests_per_host): grants = min(budget, 5)
+        robots = synth_robots(spark, sf)
+        fr = _frontier(spark, sf)
+        sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
+        allowed, _ = pol.split_robots(sl, robots)
+        empty = spark.createDataFrame([], POLITENESS)
+        bucketed = pol.apply_token_buckets_col(
+            allowed, empty, EPOCH1_TS, 60.0, host_max_parallel=5
+        )
+        return bucketed.groupBy("host").agg(
+            F.sum(F.col("granted").cast("long")).alias("n_granted"),
+            F.sum((~F.col("granted")).cast("long")).alias("n_deferred"),
+        )
+
+    q["politeness_host_cap"] = q_politeness_host_cap
+
     def q_fetch_join(spark, sf):
         pages = synth_pages(spark, sf)
         fr = _frontier(spark, sf)
@@ -1091,6 +1109,13 @@ WHERE r.disallow_prefix IS NOT NULL
 SELECT host,
        CAST(sum(CASE WHEN rn <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_granted,
        CAST(sum(CASE WHEN rn <= budget THEN 0 ELSE 1 END) AS BIGINT) AS n_deferred
+FROM granted GROUP BY host"""
+
+    # host-cap variant: grant rule least(budget, 5)
+    o["politeness_host_cap"] = f"""WITH {C}, {_SQL_CANON}, {_SQL_GRANT}
+SELECT host,
+       CAST(sum(CASE WHEN rn <= least(budget, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_granted,
+       CAST(sum(CASE WHEN rn <= least(budget, 5) THEN 0 ELSE 1 END) AS BIGINT) AS n_deferred
 FROM granted GROUP BY host"""
 
     o["fetch_join"] = f"""WITH {C}, {_SQL_CANON}

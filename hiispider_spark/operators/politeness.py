@@ -101,8 +101,16 @@ def apply_token_buckets(
     epoch_ts: str,
     epoch_seconds: float = EPOCH_SECONDS,
     tie_break: str = "url_hash",
+    host_max_parallel: int | None = None,
 ) -> DataFrame:
     """Token-bucket grant inside groupBy(host).applyInPandas.
+
+    ``host_max_parallel``: additional per-host concurrency ceiling per
+    epoch (the reference's ``max_simultaneous_requests_per_host``
+    [hs: hiispider/requestqueuer.py †]) — grants are capped at
+    ``min(floor(tokens), host_max_parallel)``; revoked demand defers,
+    and since the next-state charge derives from final granted flags,
+    capped fetches never consume rate budget.
 
     Input: slice columns + ``crawl_delay`` (from split_robots).
     Output: input frontier columns + ``granted`` boolean +
@@ -149,6 +157,8 @@ def apply_token_buckets(
             elapsed = (epoch_pd - last_refill).total_seconds()
             tokens = min(cap, float(tokens_prev) + elapsed / max(delay, 1e-9))
         budget = int(np.floor(tokens))
+        if host_max_parallel is not None:
+            budget = min(budget, int(host_max_parallel))
         # deterministic per-group order (SURVEY.md §4): priority DESC,
         # tie_break ASC — default url_hash, same as the dequeue window
         # (oracle-checked queries use tie_break="url": SQL-computable)
@@ -174,6 +184,7 @@ def apply_token_buckets_col(
     epoch_ts: str,
     epoch_seconds: float = EPOCH_SECONDS,
     tie_break: str = "url_hash",
+    host_max_parallel: int | None = None,
 ) -> DataFrame:
     """Column-expression twin of :func:`apply_token_buckets` — same
     output schema, rows, and state echo, proved row-identical by
@@ -210,12 +221,12 @@ def apply_token_buckets_col(
         F.col("priority").desc(), F.col(tie_break).asc()
     )
     frontier_cols = [c for c in allowed.columns if c != "crawl_delay"]
+    budget = F.floor(F.col("tokens_avail"))
+    if host_max_parallel is not None:
+        budget = F.least(budget, F.lit(int(host_max_parallel)))
     return (
         ws.withColumn("tokens_avail", tokens)
-        .withColumn(
-            "granted",
-            F.row_number().over(w) <= F.floor(F.col("tokens_avail")),
-        )
+        .withColumn("granted", F.row_number().over(w) <= budget)
         .select(
             *frontier_cols,
             F.col("crawl_delay"),

@@ -127,6 +127,10 @@ class EpochConfig:
     # window twin, test-pinned — the fast path when the fetch is a join
     # and the pandas stage hosts no I/O, as in this sandbox).
     politeness_impl: str = "pandas"
+    # Per-host concurrency ceiling per epoch (the reference's
+    # max_simultaneous_requests_per_host) on top of the rate budget;
+    # None = rate-limited only (golden fixtures).
+    host_max_parallel: int | None = None
     # Adaptive recrawl (operators/recrawl.py): reschedule successful
     # fetches at clamp(1/λ̂) from the page_cache change counters instead
     # of the row's fixed interval_s — static pages drift toward
@@ -228,7 +232,8 @@ def run_epoch(
         else pol.apply_token_buckets
     )
     bucketed = bucket_fn(
-        allowed, cat.read("politeness"), ts, cfg.epoch_seconds
+        allowed, cat.read("politeness"), ts, cfg.epoch_seconds,
+        host_max_parallel=cfg.host_max_parallel,
     )
     bucketed_raw = None
     if cfg.max_inflight is not None:

@@ -306,3 +306,29 @@ def test_epoch_byte_identical_under_politeness_impls(spark, tmp_path):
         b = sorted(map(tuple, outs["column"].read(tbl).collect()))
         assert a == b, tbl
     pages.unpersist()
+
+
+def test_host_max_parallel_caps_both_impls(spark, tiny_seeds, tiny_robots):
+    """host_max_parallel bounds per-host grants under both impls, and
+    the twins remain row-identical with the cap engaged."""
+    from hiispider_spark.operators import politeness as pol
+
+    sl = _slice(spark, tiny_seeds)
+    allowed, _ = pol.split_robots(sl, tiny_robots)
+    empty = spark.createDataFrame([], POLITENESS)
+    a = pol.apply_token_buckets(
+        allowed, empty, "2024-01-01 00:01:00", 60.0, host_max_parallel=2
+    )
+    b = pol.apply_token_buckets_col(
+        allowed, empty, "2024-01-01 00:01:00", 60.0, host_max_parallel=2
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    per_host = a.filter("granted").groupBy("host").count().collect()
+    assert per_host and all(r["count"] <= 2 for r in per_host)
+    # cap defers, never drops: row counts unchanged
+    assert a.count() == allowed.count()
+    # uncapped grants exceed 2 somewhere (the cap actually binds)
+    un = pol.apply_token_buckets(allowed, empty, "2024-01-01 00:01:00", 60.0)
+    assert un.filter("granted").groupBy("host").count().filter(
+        "count > 2"
+    ).count() > 0
