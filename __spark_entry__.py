@@ -253,6 +253,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["politeness_host_cap"] = q_politeness_host_cap
 
+    def q_dequeue_aged(spark, sf):
+        # starvation guard: effective priority = priority + 1.0 ×
+        # days-past-due over a closed-form frontier whose rows are
+        # overdue by (doc_id % 50) hours — the REAL windowed dequeue
+        # with aging_weight ranks them
+        from hiispider_spark.operators.frontier import dequeue_topk
+
+        d = F.col("doc_id")
+        fr = _docs(spark, sf).select(
+            F.format_string(
+                "http://h%02d.example.org/p/%d", (d % 7).cast("int"), d
+            ).alias("url"),
+            d.alias("url_hash"),
+            (d % 8).cast("int").alias("part_id"),
+            (F.expr("cast(doc_id % 10 as double)") / 10.0).alias("priority"),
+            F.timestamp_seconds(
+                F.lit(1704067260) - (d % 50) * 3600
+            ).alias("next_fetch_ts"),
+            F.lit("pending").alias("state"),
+        )
+        return dequeue_topk(fr, EPOCH1_TS, 10, aging_weight=1.0).select(
+            "url", "url_hash", "part_id", "priority"
+        )
+
+    q["dequeue_aged"] = q_dequeue_aged
+
     def q_fetch_join(spark, sf):
         pages = synth_pages(spark, sf)
         fr = _frontier(spark, sf)
@@ -1822,6 +1848,28 @@ srcs AS (SELECT DISTINCT src FROM edges)
 SELECT s.src AS src_url, t.cur AS final_url, CAST(t.hops AS INT) AS n_hops,
        t.src IS NULL AS is_cycle
 FROM srcs s LEFT JOIN term t ON t.src = s.src"""
+
+    # aged dequeue: effective-priority window mirrored with the same
+    # double arithmetic (exact — all operands integer-derived)
+    o["dequeue_aged"] = """
+WITH fr AS (
+  SELECT printf('http://h%02d.example.org/p/%d',
+                CAST(doc_id % 7 AS INT), doc_id) AS url,
+         doc_id AS url_hash,
+         CAST(doc_id % 8 AS INT) AS part_id,
+         CAST(doc_id % 10 AS DOUBLE) / 10.0 AS priority,
+         CAST(doc_id % 10 AS DOUBLE) / 10.0
+           + (doc_id % 50) * 3600.0 / 86400.0 AS eff,
+         TIMESTAMP '2024-01-01 00:01:00'
+           - (doc_id % 50) * INTERVAL 1 HOUR AS nft
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY part_id
+             ORDER BY eff DESC, nft ASC, url_hash ASC) AS rn
+  FROM fr
+)
+SELECT url, url_hash, part_id, priority FROM r WHERE rn <= 10"""
 
     # scope: expected classification per closed-form URL family
     o["scope_filter"] = """

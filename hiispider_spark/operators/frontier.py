@@ -110,19 +110,39 @@ def build_frontier(
     )
 
 
-def dequeue_topk(frontier: DataFrame, epoch_ts: str, k_per_partition: int) -> DataFrame:
+def dequeue_topk(
+    frontier: DataFrame,
+    epoch_ts: str,
+    k_per_partition: int,
+    aging_weight: float = 0.0,
+) -> DataFrame:
     """Per-partition priority top-k of due URLs (O-18).
 
     Replaces the reference's global min-heap pop with a bucket-local
     window — the global sort a naive ``orderBy(priority).limit(n)``
     would shuffle is avoided; each bucket ranks independently.
+
+    ``aging_weight`` > 0 ranks by EFFECTIVE priority = priority +
+    weight × days-past-due — the starvation guard a 10^10 frontier
+    needs (with static priorities, a row narrowly below its bucket's
+    top-k cutoff can otherwise wait forever behind a stable cohort;
+    the reference's global heap pops EVERY due row per tick, so it
+    never starves — a k-bounded dequeue must buy that property back).
+    0 keeps the exact original ordering (golden fixtures).
     """
     due = frontier.filter(
         (F.col("state") == "pending")
         & (F.col("next_fetch_ts") <= F.lit(epoch_ts).cast("timestamp"))
     )
+    eff = F.col("priority")
+    if aging_weight:
+        overdue_s = (
+            F.lit(epoch_ts).cast("timestamp").cast("double")
+            - F.col("next_fetch_ts").cast("double")
+        )
+        eff = eff + F.lit(float(aging_weight)) * overdue_s / F.lit(86400.0)
     w = Window.partitionBy("part_id").orderBy(
-        F.col("priority").desc(), F.col("next_fetch_ts").asc(), F.col("url_hash").asc()
+        eff.desc(), F.col("next_fetch_ts").asc(), F.col("url_hash").asc()
     )
     return (
         due.withColumn("rn", F.row_number().over(w))

@@ -116,3 +116,37 @@ def test_boot_stagger_spreads_first_fetch(spark, tiny_seeds):
     assert fr.select("url", "next_fetch_ts").exceptAll(
         again.select("url", "next_fetch_ts")
     ).count() == 0
+
+
+def test_dequeue_aging_rescues_starved_rows(spark):
+    """aging_weight promotes long-overdue low-priority rows past fresh
+    high-priority ones; weight=0 preserves the static order, and the
+    aged window still plans as WindowGroupLimit."""
+    from hiispider_spark.operators.frontier import dequeue_topk
+
+    rows = [
+        # (url, url_hash, part, priority, overdue_days)
+        ("http://a/fresh-hi", 1, 0, 2.0, 0),
+        ("http://a/fresh-mid", 2, 0, 1.5, 0),
+        ("http://a/starved-lo", 3, 0, 0.5, 10),  # 10 days past due
+    ]
+    fr = spark.createDataFrame(
+        [
+            (u, h, p, pr, f"2024-01-{11 - od:02d} 00:00:00")
+            for u, h, p, pr, od in rows
+        ],
+        "url string, url_hash long, part_id int, priority double, ts string",
+    ).select(
+        "url", "url_hash", "part_id", "priority",
+        F.col("ts").cast("timestamp").alias("next_fetch_ts"),
+        F.lit("pending").alias("state"),
+    )
+    ts = "2024-01-11 00:00:00"
+    static = [r.url for r in dequeue_topk(fr, ts, 2).collect()]
+    assert static == ["http://a/fresh-hi", "http://a/fresh-mid"]
+    aged = dequeue_topk(fr, ts, 2, aging_weight=0.2)
+    got = [r.url for r in aged.collect()]
+    # starved row gains 0.2*10 = 2.0 → effective 2.5 tops the bucket
+    assert got[0] == "http://a/starved-lo" and "http://a/fresh-hi" in got
+    plan = aged._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
