@@ -131,6 +131,11 @@ class EpochConfig:
     # max_simultaneous_requests_per_host) on top of the rate budget;
     # None = rate-limited only (golden fixtures).
     host_max_parallel: int | None = None
+    # Dequeue starvation guard: effective priority += aging_weight ×
+    # days-past-due (frontier.dequeue_topk). 0 = static priorities
+    # (golden fixtures; reference parity — its global heap never
+    # starves, a k-bounded dequeue needs the guard at scale).
+    aging_weight: float = 0.0
     # Adaptive recrawl (operators/recrawl.py): reschedule successful
     # fetches at clamp(1/λ̂) from the page_cache change counters instead
     # of the row's fixed interval_s — static pages drift toward
@@ -209,7 +214,9 @@ def run_epoch(
     # each persisted stage is materialized (count) before dependents
     # fan out — otherwise sibling branches of the final union race to
     # compute the same uncached subtree in one job, duplicating work
-    sl = dequeue_topk(frontier, ts, cfg.k_per_partition).persist()
+    sl = dequeue_topk(
+        frontier, ts, cfg.k_per_partition, aging_weight=cfg.aging_weight
+    ).persist()
     # one job materializes the persist AND yields the dequeue count plus
     # the touched buckets (bounded by P rows — the only driver collect
     # in the pipeline besides counters); everything the epoch rewrites
