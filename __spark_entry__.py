@@ -279,6 +279,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dequeue_aged"] = q_dequeue_aged
 
+    def q_idn_normalize(spark, sf):
+        # unicode hosts → punycode via the real IDNA codec; oracle
+        # carries the RFC 3492 expected encodings as literals
+        from hiispider_spark.functions.canon import idn_url_udf
+
+        urls = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(
+                "CASE cast(doc_id % 4 as int)"
+                " WHEN 0 THEN printf('http://münchen.example/p/%d', doc_id)"
+                " WHEN 1 THEN printf('http://пример.испытание/p/%d', doc_id)"
+                " WHEN 2 THEN printf('http://täst.example:8080/p/%d', doc_id)"
+                " ELSE printf('http://plain%d.example/p/%d',"
+                "             doc_id % 9, doc_id) END"
+            ).alias("url"),
+        )
+        return urls.select("doc_id", idn_url_udf("url").alias("url"))
+
+    q["idn_normalize"] = q_idn_normalize
+
     def q_fetch_join(spark, sf):
         pages = synth_pages(spark, sf)
         fr = _frontier(spark, sf)
@@ -1848,6 +1868,18 @@ srcs AS (SELECT DISTINCT src FROM edges)
 SELECT s.src AS src_url, t.cur AS final_url, CAST(t.hops AS INT) AS n_hops,
        t.src IS NULL AS is_cycle
 FROM srcs s LEFT JOIN term t ON t.src = s.src"""
+
+    # IDN: expected punycode per RFC 3492 as literals
+    o["idn_normalize"] = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN printf('http://xn--mnchen-3ya.example/p/%d', doc_id)
+    WHEN 1 THEN
+      printf('http://xn--e1afmkfd.xn--80akhbyknj4f/p/%d', doc_id)
+    WHEN 2 THEN printf('http://xn--tst-qla.example:8080/p/%d', doc_id)
+    ELSE printf('http://plain%d.example/p/%d', doc_id % 9, doc_id)
+  END AS url
+FROM documents"""
 
     # aged dequeue: effective-priority window mirrored with the same
     # double arithmetic (exact — all operands integer-derived)

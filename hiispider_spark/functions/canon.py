@@ -137,3 +137,55 @@ def path_col(url: Column) -> Column:
     ``try_parse_url``: total over malformed inputs (see host_col)."""
     p = F.try_parse_url(url, F.lit("PATH"))
     return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+
+
+def idn_to_ascii(host: str) -> str:
+    """IDNA/punycode-encode one hostname (per-label, stdlib codec —
+    IDNA 2003, the interoperable subset); ASCII labels pass through
+    unchanged, labels the codec rejects pass through verbatim (a
+    crawler must never lose a URL to normalization)."""
+    out = []
+    for label in host.split("."):
+        if label.isascii():
+            out.append(label.lower())
+            continue
+        try:
+            out.append(label.encode("idna").decode("ascii"))
+        except UnicodeError:
+            out.append(label.lower())
+    return ".".join(out)
+
+
+def idn_url_to_ascii(url: str) -> str:
+    """Rewrite a URL's host through :func:`idn_to_ascii`; non-URL
+    strings and ASCII hosts return unchanged."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    try:
+        parts = urlsplit(url)
+        host = parts.hostname
+    except ValueError:
+        return url
+    if not host or host.isascii():
+        return url
+    # rebuild netloc from components: urlsplit lowercases .hostname, so
+    # substring replacement would miss an uppercase-unicode original
+    netloc = idn_to_ascii(host)
+    if parts.port is not None:
+        netloc = f"{netloc}:{parts.port}"
+    if "@" in parts.netloc:
+        netloc = parts.netloc.rsplit("@", 1)[0] + "@" + netloc
+    return urlunsplit(
+        (parts.scheme, netloc, parts.path, parts.query, parts.fragment)
+    )
+
+
+@F.pandas_udf(T.StringType())
+def idn_url_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-batched IDN host normalization — run at INGESTION (seed
+    load / discovered-link intake) before canonicalization, so unicode
+    and punycode spellings of one host share a frontier identity. Not
+    in the per-epoch hot path: hosts are overwhelmingly ASCII, and the
+    JVM canonicalization there must stay Python-free; the fast
+    ``isascii`` bail-out makes the ingestion pass near-free."""
+    return urls.map(idn_url_to_ascii)

@@ -88,3 +88,41 @@ def test_three_impls_agree_on_corpus(spark, tiny_seeds):
     rows = df.collect()
     for r in rows:
         assert r.a == canonicalize_url(r.url)
+
+
+def test_idn_host_normalization():
+    from hiispider_spark.functions.canon import idn_to_ascii, idn_url_to_ascii
+
+    assert idn_to_ascii("münchen.example") == "xn--mnchen-3ya.example"
+    assert (
+        idn_to_ascii("пример.испытание")
+        == "xn--e1afmkfd.xn--80akhbyknj4f"
+    )
+    assert idn_to_ascii("Plain.Example") == "plain.example"
+    # uppercase unicode host: netloc rebuilt, not substring-replaced
+    assert (
+        idn_url_to_ascii("http://MÜNCHEN.example:8080/p?a=1")
+        == "http://xn--mnchen-3ya.example:8080/p?a=1"
+    )
+    assert idn_url_to_ascii("http://plain.example/x") == "http://plain.example/x"
+    assert idn_url_to_ascii("not a url") == "not a url"
+    # unicode and punycode spellings converge to one canonical identity
+    from hiispider_spark.functions.canon import canonicalize_url
+
+    a = canonicalize_url(idn_url_to_ascii("http://münchen.example/p/1"))
+    b = canonicalize_url("http://xn--mnchen-3ya.example/p/1")
+    assert a == b
+
+
+def test_idn_udf_batch(spark):
+    from hiispider_spark.functions.canon import idn_url_udf
+
+    df = spark.createDataFrame(
+        [("http://münchen.example/p/1",), ("http://plain.example/x",)],
+        "url string",
+    )
+    got = [r.u for r in df.select(idn_url_udf("url").alias("u")).collect()]
+    assert got == [
+        "http://xn--mnchen-3ya.example/p/1",
+        "http://plain.example/x",
+    ]
