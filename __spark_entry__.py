@@ -299,6 +299,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["idn_normalize"] = q_idn_normalize
 
+    def q_tfidf_topk(spark, sf):
+        return ts.tfidf_topk(_docs(spark, sf), "doc_id", "text", k=3)
+
+    q["tfidf_topk"] = q_tfidf_topk
+
     def q_fetch_join(spark, sf):
         pages = synth_pages(spark, sf)
         fr = _frontier(spark, sf)
@@ -1868,6 +1873,32 @@ srcs AS (SELECT DISTINCT src FROM edges)
 SELECT s.src AS src_url, t.cur AS final_url, CAST(t.hops AS INT) AS n_hops,
        t.src IS NULL AS is_cycle
 FROM srcs s LEFT JOIN term t ON t.src = s.src"""
+
+    # tf-idf: same smoothed formula, rank on the rounded score
+    o["tfidf_topk"] = """
+WITH toks AS (
+  SELECT doc_id, unnest([w FOR w IN string_split(lower(text), ' ')
+                         IF w <> '']) AS token
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS dfn
+  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, token, tf,
+         round(tf * (ln((n_docs + 1.0) / (dfn + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3"""
 
     # IDN: expected punycode per RFC 3492 as literals
     o["idn_normalize"] = """

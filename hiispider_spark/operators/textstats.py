@@ -183,3 +183,51 @@ def script_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[fracs[f"frac_{n}"].alias(f"frac_{n}") for n in names],
         main.alias("main_script"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """(doc_id, token, tf, score, rank) — the ``k`` highest-TF-IDF
+    tokens per document (smoothed idf = ln((N+1)/(df+1)) + 1, the
+    sklearn convention), ties → lexicographic. The standard keyword /
+    topic-labeling signal for corpus exploration and weak supervision.
+
+    Shape: two explode passes (document-frequency counts, then per-doc
+    term counts), both map-side-combinable groupBys; the df table
+    broadcasts while the vocabulary is small (``broadcast_df`` — flip
+    off past broadcast range for a token-keyed shuffle join); the
+    per-doc top-k plans as WindowGroupLimit. Zero Python.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("token"),
+    )
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("__n_docs")
+    )
+    df_tab = toks.distinct().groupBy("token").agg(
+        F.count("*").cast("double").alias("__df")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_side = F.broadcast(df_tab) if broadcast_df else df_tab
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)) + 1.0
+    scored = (
+        tf.join(df_side, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )

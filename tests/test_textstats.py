@@ -89,3 +89,45 @@ def test_script_profile_fractions(spark):
     assert got[1].frac_cjk == 1.0 and got[1].main_script == "cjk"
     assert got[2].main_script == "unknown"
     assert got[3].main_script == "greek" and got[3].frac_greek == 1.0
+
+
+def test_tfidf_topk_hand_math(spark):
+    import math
+
+    from hiispider_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "common common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.token): r
+        for r in tfidf_topk(docs, "doc_id", "text", k=2).collect()
+    }
+    idf = lambda df_: math.log(4 / (df_ + 1)) + 1  # N=3 → (3+1)/(df+1)
+    # doc0: apple tf=2 df=1 → 2*idf(1); banana tf=1 df=2; common tf=1 df=3
+    assert abs(got[(0, "apple")].score - round(2 * idf(1), 6)) < 1e-9
+    assert got[(0, "apple")].rank == 1
+    assert got[(0, "banana")].rank == 2  # banana idf > common idf
+    assert (0, "common") not in got  # cut by k=2
+    # doc2: common tf=2 beats cherry tf=1? 2*idf(3)=2*ln(1)+2=2.0,
+    # cherry idf(2)=ln(4/3)+1≈1.2877 → common first
+    assert got[(2, "common")].rank == 1 and got[(2, "cherry")].rank == 2
+
+
+def test_tfidf_topk_plan_shape(spark):
+    from hiispider_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    p = (
+        tfidf_topk(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
