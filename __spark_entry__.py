@@ -1836,8 +1836,10 @@ iv AS (
 SELECT url, n_polls, n_changes,
   round(lam_raw, 9) + 0 AS lam,  -- +0 folds IEEE -0.0 (from -ln(1)) to +0.0
   round(interval_raw, 6) AS interval_s,
-  to_timestamp(CAST(epoch(last_ts) AS BIGINT)
-               + CAST(floor(interval_raw) AS BIGINT)) AS next_fetch_ts
+  -- last_ts + INTERVAL keeps plain TIMESTAMP; to_timestamp(BIGINT)
+  -- returns TIMESTAMPTZ in DuckDB and fails the dtype-sensitive hash
+  last_ts + CAST(floor(interval_raw) AS BIGINT) * INTERVAL 1 SECOND
+    AS next_fetch_ts
 FROM iv"""
 
     # redirects: same closed-form functional graph; oracle follows the

@@ -161,23 +161,28 @@ def idn_url_to_ascii(url: str) -> str:
     strings and ASCII hosts return unchanged."""
     from urllib.parse import urlsplit, urlunsplit
 
+    # everything touching the parse result stays inside the try:
+    # urlsplit defers port validation to the .port property, so e.g.
+    # http://例え.jp:99999/x raises ValueError only on access — and a
+    # crawler must never lose a URL to normalization
     try:
         parts = urlsplit(url)
         host = parts.hostname
+        if not host or host.isascii():
+            return url
+        # rebuild netloc from components: urlsplit lowercases
+        # .hostname, so substring replacement would miss an
+        # uppercase-unicode original
+        netloc = idn_to_ascii(host)
+        if parts.port is not None:
+            netloc = f"{netloc}:{parts.port}"
+        if "@" in parts.netloc:
+            netloc = parts.netloc.rsplit("@", 1)[0] + "@" + netloc
+        return urlunsplit(
+            (parts.scheme, netloc, parts.path, parts.query, parts.fragment)
+        )
     except ValueError:
         return url
-    if not host or host.isascii():
-        return url
-    # rebuild netloc from components: urlsplit lowercases .hostname, so
-    # substring replacement would miss an uppercase-unicode original
-    netloc = idn_to_ascii(host)
-    if parts.port is not None:
-        netloc = f"{netloc}:{parts.port}"
-    if "@" in parts.netloc:
-        netloc = parts.netloc.rsplit("@", 1)[0] + "@" + netloc
-    return urlunsplit(
-        (parts.scheme, netloc, parts.path, parts.query, parts.fragment)
-    )
 
 
 @F.pandas_udf(T.StringType())

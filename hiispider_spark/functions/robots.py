@@ -17,9 +17,11 @@ Google's parser):
 - a crawler obeys the most specific matching group set — all groups
   naming its own token if any exist, else all ``*`` groups;
 - ``Disallow:`` with an empty path permits everything (no rule);
-- rule precedence (longest prefix match, Allow wins length ties) is
-  applied downstream by ``politeness.robots_deny_col``, which consumes
-  the (allow, prefix) rows this parser emits in file order;
+- rule precedence (longest pattern match, Allow wins length ties) and
+  RFC 9309 §2.2.3 wildcards (``*`` any-sequence, trailing ``$`` end
+  anchor) are applied downstream by ``politeness.robots_deny_col``,
+  which consumes the (allow, prefix) rows this parser emits verbatim
+  in file order — wildcard chars ride inside the prefix string;
 - ``Crawl-delay`` is nonstandard but widely honored — parsed as seconds
   (float); None when absent (downstream coalesces to the engine
   default).

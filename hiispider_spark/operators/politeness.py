@@ -43,18 +43,43 @@ from hiispider_spark.sources.synth import EPOCH_SECONDS
 DEFAULT_CRAWL_DELAY = 1.0
 
 
+def _rule_match(path_col_, prefix):
+    """One REP rule against one path. RFC 9309 §2.2.3 wildcards:
+    ``*`` matches any char sequence, a TRAILING ``$`` anchors the end
+    (``$`` elsewhere is literal). Plain prefixes — the overwhelming
+    majority in real robots files — keep the literal ``startswith``
+    fast path; wildcard rules compile to an anchored regex (regex
+    metachars in the rule escaped first), matched via ``regexp_like``
+    with a non-foldable pattern. All pure Column."""
+    has_wild = prefix.contains("*") | prefix.endswith("$")
+    ends = prefix.endswith("$")
+    core = F.when(
+        ends, F.substr(prefix, F.lit(1), F.length(prefix) - 1)
+    ).otherwise(prefix)
+    escaped = F.regexp_replace(core, r"[.^$+?()\[\]{}|\\]", r"\\$0")
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(escaped, r"\*", ".*"),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(
+        has_wild, F.regexp_like(path_col_, pattern)
+    ).otherwise(path_col_.startswith(prefix))
+
+
 def robots_deny_col(rules_col, path_col_):
     """True iff the path is denied under REP precedence (O-9n): among
-    rules whose prefix matches the path, the LONGEST prefix wins and
-    Allow wins length ties (RFC 9309 / Google semantics); no matching
-    rule → allowed. On disallow-only rule sets (the synth corpus, and
-    any pre-Allow robots) this reduces to "any disallow matches" — the
-    oracle twins stay valid.
+    rules matching the path, the LONGEST pattern wins and Allow wins
+    length ties (RFC 9309 / Google semantics); no matching rule →
+    allowed. Rules may carry RFC 9309 wildcards (``*`` / trailing
+    ``$``) — see :func:`_rule_match`. On disallow-only literal rule
+    sets (the synth corpus, and any pre-Allow robots) this reduces to
+    "any disallow matches" — the oracle twins stay valid.
 
     Pure Column expression → WholeStageCodegen, no Python.
     """
     matching = F.filter(
-        rules_col, lambda r: path_col_.startswith(r["prefix"])
+        rules_col, lambda r: _rule_match(path_col_, r["prefix"])
     )
     best = F.array_max(
         F.transform(

@@ -100,7 +100,9 @@ def recrawl_schedule(
         key_col,
         "n_polls",
         "n_changes",
-        F.round(lam, 9).alias("lam"),
+        # + 0.0 folds IEEE -0.0 (λ̂ = -ln(1) for never-changed URLs)
+        # to +0.0 so the value hash matches SQL oracles doing the same
+        (F.round(lam, 9) + F.lit(0.0)).alias("lam"),
         F.round(interval, 6).alias("interval_s"),
         F.timestamp_seconds(
             F.unix_timestamp("_last_ts") + F.floor(interval).cast("long")

@@ -566,9 +566,15 @@ class IcebergLike:
         for entry in self._staged.values():
             live |= set(self._entry_paths(entry))
         removed: list[str] = []
+        tables = set(self.manifest["tables"])
         for tdir in sorted(os.listdir(self.root)):
             tabs = os.path.join(self.root, tdir)
-            if not os.path.isdir(tabs):
+            # only walk directories the manifest names as tables:
+            # non-table residents of the root (the Structured Streaming
+            # checkpoint at _stream_ckpt, user scratch dirs) are not
+            # ours to expire — vacuuming mid-stream would delete the
+            # live query's offsets/commits
+            if not os.path.isdir(tabs) or tdir not in tables:
                 continue
             for ver in sorted(os.listdir(tabs)):
                 rel = f"{tdir}/{ver}"

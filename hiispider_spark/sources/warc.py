@@ -32,6 +32,7 @@ from collections.abc import Iterator
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PAGES_SCHEMA = T.StructType(
@@ -144,22 +145,36 @@ def _ts(value: str | None):
         return None
 
 
-def read_warc(files: DataFrame) -> DataFrame:
+def read_warc(files: DataFrame, latest_only: bool = True) -> DataFrame:
     """(path, content) rows — e.g. ``spark.read.format("binaryFile")``
     over a WARC directory — → pages-shaped rows, one per ``response``
     record: (url, warc_ts, html, http_status, redirect, source_file).
     ``redirect`` is the 3xx Location target resolved against the
-    record URL (relative Locations are legal per RFC 9110 §10.2.2)."""
+    record URL (relative Locations are legal per RFC 9110 §10.2.2).
+
+    ``latest_only`` (default): real archives carry MULTIPLE captures
+    of one URL; duplicate url keys would fan out the epoch's fetch
+    inner join (duplicate fetched rows, duplicate url_hash keys inside
+    one frontier/page_cache delta, inflated n_polls/lineage). Keeps
+    the latest capture per url — warc_ts desc, ties broken by later
+    record in the lexically-later file (a re-crawl appended later
+    wins) — via a windowed top-1 (WindowGroupLimit, no full sort).
+    Pass ``latest_only=False`` for history workloads (recrawl-rate
+    estimation feeds on the FULL capture log)."""
     import pandas as pd
+    from pyspark.sql import Window
     from urllib.parse import urljoin
 
     cols = files.select("path", "content")
+    out_schema = T.StructType(
+        list(PAGES_SCHEMA) + [T.StructField("_rec_idx", T.LongType())]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 rows = []
-                for rec in parse_warc_bytes(bytes(blob)):
+                for idx, rec in enumerate(parse_warc_bytes(bytes(blob))):
                     status, body, location = _http_response(rec["payload"])
                     url = rec["headers"].get("warc-target-uri")
                     redirect = None
@@ -173,14 +188,27 @@ def read_warc(files: DataFrame) -> DataFrame:
                             status,
                             redirect,
                             path,
+                            idx,
                         )
                     )
                 if rows:
                     yield pd.DataFrame(
-                        rows, columns=[f.name for f in PAGES_SCHEMA]
+                        rows, columns=[f.name for f in out_schema]
                     )
 
-    return cols.mapInPandas(gen, PAGES_SCHEMA)
+    pages = cols.mapInPandas(gen, out_schema)
+    if not latest_only:
+        return pages.drop("_rec_idx")
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(),
+        F.col("source_file").desc(),
+        F.col("_rec_idx").desc(),
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_rec_idx")
+    )
 
 
 # ----------------------------------------------------------------- writer

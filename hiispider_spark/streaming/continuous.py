@@ -54,7 +54,17 @@ def crawl_stream(
     def one_epoch(_batch: DataFrame, _batch_id: int) -> None:
         if max_epochs is not None and len(stats) >= max_epochs:
             return
-        stats.append(run_epoch(spark, cat, pages, robots, cfg))
+        try:
+            stats.append(run_epoch(spark, cat, pages, robots, cfg))
+        except BaseException:
+            # a failed epoch must not leave its staged appends behind:
+            # IcebergLike._staged survives in-process, so a retry (or
+            # the next trigger) would commit the dead attempt's files
+            # alongside its own, duplicating extracted/lineage rows.
+            # Crash-replay across PROCESS restarts already discards
+            # staged state; this extends the guarantee within-process.
+            cat.rollback_staged()
+            raise
 
     query = (
         spark.readStream.format("rate")

@@ -106,6 +106,13 @@ def test_idn_host_normalization():
     )
     assert idn_url_to_ascii("http://plain.example/x") == "http://plain.example/x"
     assert idn_url_to_ascii("not a url") == "not a url"
+    # invalid port: urlsplit defers the ValueError to .port access —
+    # must pass through unchanged, never raise (crawler contract:
+    # no URL is lost to normalization)
+    assert (
+        idn_url_to_ascii("http://例え.jp:99999/x") == "http://例え.jp:99999/x"
+    )
+    assert idn_url_to_ascii("http://例え.jp:bad/x") == "http://例え.jp:bad/x"
     # unicode and punycode spellings converge to one canonical identity
     from hiispider_spark.functions.canon import canonicalize_url
 

@@ -63,6 +63,53 @@ def test_stream_matches_batch_loop(spark, tiny_pages, tiny_seeds, tiny_robots):
             shutil.rmtree(r, ignore_errors=True)
 
 
+def test_failed_epoch_rolls_back_staged(
+    spark, tiny_pages, tiny_seeds, tiny_robots, monkeypatch
+):
+    """A run_epoch failure mid-epoch must not leave staged appends
+    behind — IcebergLike._staged survives in-process, so without the
+    rollback the NEXT trigger would commit the dead attempt's files
+    alongside its own (duplicate extracted/lineage rows)."""
+    import hiispider_spark.streaming.continuous as cont
+
+    root = tempfile.mkdtemp(prefix="cont_fail_")
+    try:
+        cat = IcebergLike(spark, root)
+        bootstrap(spark, cat, tiny_seeds, CFG)
+
+        calls = []
+
+        def boom(spark_, cat_, pages_, robots_, cfg_):
+            calls.append(1)
+            cat_.stage_append(
+                "lineage_t",
+                spark_.range(3).selectExpr(
+                    "cast(id as int) as part_id",
+                    "id as url_hash",
+                    "cast(id as int) as v",
+                ),
+            )
+            raise RuntimeError("simulated mid-epoch failure")
+
+        monkeypatch.setattr(cont, "run_epoch", boom)
+        query, stats = crawl_stream(
+            spark, cat, tiny_pages, tiny_robots, CFG,
+            max_epochs=1, trigger_s=0.3,
+        )
+        try:
+            deadline = time.time() + 60
+            while not calls and time.time() < deadline:
+                time.sleep(0.3)
+            time.sleep(1.0)  # let foreachBatch unwind
+        finally:
+            query.stop()
+        assert calls, "fake epoch never ran"
+        assert cat._staged == {}  # dead attempt's appends dropped
+        assert stats == []
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_max_epochs_caps_triggers(spark, tiny_pages, tiny_seeds, tiny_robots):
     root = tempfile.mkdtemp(prefix="cont_cap_")
     try:

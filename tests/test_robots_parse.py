@@ -75,6 +75,23 @@ def test_garbage_tolerated():
         ([(False, "/"), (True, "/ok")], "/other", True),
         # disallow-only reduces to any-match (oracle-compatible)
         ([(False, "/a"), (False, "/b")], "/b/x", True),
+        # RFC 9309 §2.2.3 wildcards: '*' matches any sequence
+        ([(False, "/*?sessionid=")], "/page?sessionid=abc", True),
+        ([(False, "/*?sessionid=")], "/page?other=1", False),
+        ([(False, "/a/*/c")], "/a/b/c/d", True),
+        ([(False, "/a/*/c")], "/a/c", False),
+        # trailing '$' anchors the end
+        ([(False, "/*.pdf$")], "/docs/file.pdf", True),
+        ([(False, "/*.pdf$")], "/docs/file.pdfx", False),
+        ([(False, "/exact$")], "/exact", True),
+        ([(False, "/exact$")], "/exact/sub", False),
+        # '$' not at end is literal; regex metachars in rules are literal
+        ([(False, "/a$b")], "/a$bc", True),
+        ([(False, "/p[1]")], "/p[1]/x", True),
+        ([(False, "/p[1]")], "/p1/x", False),
+        # wildcard Allow beats shorter literal Disallow (pattern length)
+        ([(False, "/dl"), (True, "/dl/*.html$")], "/dl/a.html", False),
+        ([(False, "/dl"), (True, "/dl/*.html$")], "/dl/a.zip", True),
     ],
 )
 def test_deny_precedence(spark, rules, path, denied):

@@ -31,6 +31,26 @@ def test_vacuum_removes_superseded_snapshots(spark, tmp_path):
     assert [r.v for r in cat.read("neg_cache_t").collect()] == [2]
 
 
+def test_vacuum_skips_non_table_dirs(spark, tmp_path):
+    """Directories the manifest does not name as tables — the live
+    Structured Streaming checkpoint at _stream_ckpt, user scratch —
+    are not ours to expire: vacuuming them mid-stream would delete
+    the running query's offsets/commits."""
+    cat = _mk(spark, tmp_path)
+    cat.stage_overwrite("neg_cache_t", _rows(spark, [(0, 1, 1)]))
+    cat.commit(epoch=0)
+    ckpt = os.path.join(cat.root, "_stream_ckpt", "offsets")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "0"), "w") as f:
+        f.write("{}")
+    scratch = os.path.join(cat.root, "scratch", "v000001")
+    os.makedirs(scratch)
+    removed = cat.vacuum()
+    assert removed == []
+    assert os.path.exists(os.path.join(ckpt, "0"))
+    assert os.path.isdir(scratch)
+
+
 def test_vacuum_partition_granularity(spark, tmp_path):
     """An old version dir whose untouched buckets are still referenced
     loses only its dead _pid children."""

@@ -113,6 +113,32 @@ def test_warc_feeds_epoch_pipeline(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_read_warc_latest_capture_per_url(spark):
+    """Real archives carry multiple captures of one URL; the default
+    keeps only the latest (warc_ts desc, later-file/later-record tie
+    break) so fetch_join never fans out; latest_only=False keeps the
+    full capture log for history workloads."""
+    u = "http://a.example.org/1"
+    old = (u, "2024-01-01T00:00:00Z", 200, b"<html>old</html>")
+    new = (u, "2024-01-03T00:00:00Z", 200, b"<html>new</html>")
+    same_ts_a = (u, "2024-01-03T00:00:00Z", 200, b"<html>first</html>")
+    root = tempfile.mkdtemp(prefix="warc_dup_")
+    try:
+        with open(os.path.join(root, "part-0.warc"), "wb") as f:
+            f.write(w.build_warc_bytes([old, same_ts_a, new]))
+        files = spark.read.format("binaryFile").load(root)
+        got = w.read_warc(files).collect()
+        assert len(got) == 1
+        # equal warc_ts → later record in the file wins
+        assert bytes(got[0].html) == b"<html>new</html>"
+        assert got[0].warc_ts == datetime(2024, 1, 3)
+        full = w.read_warc(files, latest_only=False).collect()
+        assert len(full) == 3
+        assert "_rec_idx" not in w.read_warc(files, latest_only=False).columns
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_read_warc_end_to_end(spark):
     root = tempfile.mkdtemp(prefix="warc_")
     try:

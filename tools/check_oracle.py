@@ -30,10 +30,17 @@ TABLES = (
 def canon_type(t: pa.DataType) -> str:
     """Canonical type token: strict on int width and decimal
     precision/scale (those break the driver hash), lenient on
-    representation-only variants (tz-annotated timestamps,
-    large_string/large_binary, list flavors)."""
+    representation-only variants (large_string/large_binary, list
+    flavors). Timestamps are tz-STRICT on the DuckDB side: the driver
+    failed recrawl_schedule in r3 on TIMESTAMPTZ (DuckDB to_timestamp)
+    vs plain TIMESTAMP while this gate's old tz-folding passed it — a
+    gate more lenient than the driver certifies wrong claims. The
+    SPARK side is pre-normalized by _strip_spark_tz below (Spark's
+    toArrow always annotates TimestampType with the session tz; the
+    driver treats Spark TIMESTAMP == DuckDB naive TIMESTAMP — r3
+    requeue_schedule passed with exactly that pairing)."""
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        return f"timestamp[tz={t.tz}]" if t.tz else "timestamp"
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -50,6 +57,23 @@ def canon_type(t: pa.DataType) -> str:
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{canon_type(t.value_type)}>"
     return str(t)
+
+
+def _strip_spark_tz(tbl: pa.Table) -> pa.Table:
+    """Fold Spark's session-tz Arrow annotation (TimestampType always
+    arrives tz=UTC here) back to the naive TIMESTAMP the driver models
+    it as. Applied ONLY to the Spark table — DuckDB tz stays strict."""
+    fields = []
+    changed = False
+    for f in tbl.schema:
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+            fields.append(pa.field(f.name, pa.timestamp(f.type.unit)))
+            changed = True
+        else:
+            fields.append(f)
+    if not changed:
+        return tbl
+    return tbl.cast(pa.schema(fields))
 
 
 def norm_cell(v):
@@ -95,7 +119,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            stbl = sdf.toArrow()
+            stbl = _strip_spark_tz(sdf.toArrow())
             srows = [tuple(r.values()) for r in stbl.to_pylist()]
             stypes = {f.name: canon_type(f.type) for f in stbl.schema}
         except Exception as e:
