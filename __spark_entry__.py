@@ -1117,7 +1117,258 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize"] = q_sessionize
 
-    return {name: _wrap(fn) for name, fn in q.items()}
+    def q_boolean_coerce(spark, sf):
+        # O-13 evaluateBoolean [hs: hiispider/evaluateboolean.py †]:
+        # the accepted spellings, whitespace/case noise, the empty
+        # string, and a non-boolean that must coerce to NULL
+        from hiispider_spark.operators.extract import evaluate_boolean_col
+
+        raw = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(
+                "CASE cast(doc_id % 12 as int)"
+                " WHEN 0 THEN 'true' WHEN 1 THEN 'False' WHEN 2 THEN 'YES'"
+                " WHEN 3 THEN 'n' WHEN 4 THEN '1' WHEN 5 THEN '0'"
+                " WHEN 6 THEN 'T' WHEN 7 THEN ' f ' WHEN 8 THEN ''"
+                " WHEN 9 THEN 'maybe' WHEN 10 THEN 'y' ELSE 'No' END"
+            ).alias("raw"),
+        )
+        return raw.select(
+            "doc_id", "raw", evaluate_boolean_col(F.col("raw")).alias("value")
+        )
+
+    q["boolean_coerce"] = q_boolean_coerce
+
+    def q_autogen_delta(spark, sf):
+        # Autogenerator parity [hs: hiispider/delta.py::Autogenerator †]:
+        # nested API payloads where the item list must be FOUND (largest
+        # list under pagination/meta wrappers), items carry a volatile
+        # ts field dropped via ignores, and the delta of two polls is
+        # exactly the one appended entry per URL
+        from hiispider_spark.operators.delta import autogen_delta
+
+        def polled(epoch):
+            return _docs(spark, sf).select(
+                F.col("doc_id").alias("url_hash"),
+                F.expr(
+                    'concat(\'{"data":{"entries":[\','
+                    " array_join(transform("
+                    f"   sequence(0, cast(doc_id % 3 as int) + {epoch}),"
+                    '   k -> printf(\'{"id":%d,"ts":%d,"v":%d}\','
+                    f"        k, {epoch} * 100000 + doc_id,"
+                    "         (7 * doc_id + k) % 13)), ','),"
+                    ' \'],"ids":[0]},"meta":{"page":\','
+                    " cast(doc_id as string), '}}')"
+                ).alias("payload"),
+            )
+
+        return autogen_delta(polled(1), polled(0), ignores=("ts",))
+
+    q["autogen_delta"] = q_autogen_delta
+
+    # ---- driver-window composition (round 4) ---------------------------
+    # CORRECTNESS_r03 proved the driver evaluates at most the FIRST 50
+    # registrations: 64 entries got exactly 50 rows back, silently
+    # dropping the r2-red relational trio and every newly-oracled query
+    # (VERDICT r3 "What's wrong" #3). Same-shaped variants are therefore
+    # folded into tagged-union / keyed-join suites below, and everything
+    # previously unmeasured registers FIRST — exactly 50 entries, all
+    # inside the window, each with the oracle_sql() twin composed the
+    # same way.
+    def _null(typ):
+        return F.lit(None).cast(typ)
+
+    def q_dequeue_suite(spark, sf):
+        a = q[  # windowed per-bucket top-k
+            "dequeue_topk"
+        ](spark, sf).select(
+            F.lit("bucket_topk").alias("variant"), "bucket", "url",
+            "priority", "rn",
+        )
+        b = q["dequeue_aged"](spark, sf).select(
+            F.lit("aged").alias("variant"), _null("int").alias("bucket"),
+            "url", "priority", _null("int").alias("rn"),
+        )
+        return a.unionByName(b)
+
+    def q_frontier_suite(spark, sf):
+        a = q["frontier_build"](spark, sf).select(
+            F.lit("build").alias("variant"), "url", "host", "priority",
+            "retry_count", "state",
+        )
+        b = q["frontier_merge"](spark, sf).select(
+            F.lit("merge").alias("variant"), "url",
+            _null("string").alias("host"), _null("double").alias("priority"),
+            _null("int").alias("retry_count"), "state",
+        )
+        return a.unionByName(b)
+
+    def q_fetch_suite(spark, sf):
+        a = q["fetch_join"](spark, sf).select(
+            F.lit("fetch").alias("variant"), "url", "host", "priority",
+            "warc_ts", _null("string").alias("status"),
+        )
+        b = q["conditional_get"](spark, sf).select(
+            F.lit("cond_get").alias("variant"), "url",
+            _null("string").alias("host"), _null("double").alias("priority"),
+            _null("timestamp").alias("warc_ts"), "status",
+        )
+        return a.unionByName(b)
+
+    def q_politeness_suite(spark, sf):
+        a = q["politeness_budget"](spark, sf).select(
+            F.lit("rate").alias("variant"), "host", "n_granted", "n_deferred"
+        )
+        b = q["politeness_host_cap"](spark, sf).select(
+            F.lit("cap5").alias("variant"), "host", "n_granted", "n_deferred"
+        )
+        return a.unionByName(b)
+
+    def q_host_stats_suite(spark, sf):
+        return q["host_stats"](spark, sf).join(
+            q["host_pagerank"](spark, sf), "host", "left"
+        )
+
+    def q_extract_suite(spark, sf):
+        a = q["plugin_routing"](spark, sf).select(
+            F.lit("routed").alias("variant"), "url", "plugin", "text"
+        )
+        b = q["extract_text"](spark, sf).select(
+            F.lit("text_udf").alias("variant"), "url",
+            _null("string").alias("plugin"), "text",
+        )
+        return a.unionByName(b)
+
+    def q_canon_suite(spark, sf):
+        a = q["canonicalize_dedup"](spark, sf).select(
+            F.lit("canon").alias("variant"), "url", "priority"
+        )
+        b = q["idn_normalize"](spark, sf).select(
+            F.lit("idn").alias("variant"), "url",
+            _null("double").alias("priority"),
+        )
+        return a.unionByName(b)
+
+    def q_dedup_lsh_fast(spark, sf):  # rows-only (xxhash64 fast paths)
+        a = q["dedup_minhash_lsh"](spark, sf).select(
+            F.lit("minhash").alias("variant"), "doc_a", "doc_b",
+            F.col("n_bands_hit").cast("double").alias("score"),
+        )
+        b = q["dedup_simhash"](spark, sf).select(
+            F.lit("simhash").alias("variant"), "doc_a", "doc_b",
+            F.col("hamming").cast("double").alias("score"),
+        )
+        return a.unionByName(b)
+
+    def q_dedup_fp_portable(spark, sf):
+        a = q["dedup_minhash_portable"](spark, sf).select(
+            F.lit("minhash").alias("variant"), "doc_a", "doc_b",
+            F.col("n_bands_hit").cast("double").alias("score"),
+        )
+        b = q["dedup_simhash_portable"](spark, sf).select(
+            F.lit("simhash").alias("variant"), "doc_a", "doc_b",
+            F.col("hamming").cast("double").alias("score"),
+        )
+        return a.unionByName(b)
+
+    def q_text_profile_suite(spark, sf):
+        return q["text_profile"](spark, sf).join(
+            q["script_profile"](spark, sf), "doc_id"
+        )
+
+    def q_quality_suite(spark, sf):
+        lm = q["unigram_logprob"](spark, sf).withColumnRenamed(
+            "n_tokens", "lm_n_tokens"
+        )
+        return q["quality_gopher"](spark, sf).join(lm, "doc_id")
+
+    def q_sample_suite(spark, sf):
+        a = q["stratified_sample"](spark, sf).select(
+            F.lit("stratified").alias("variant"), "doc_id", "lang", "source",
+            _null("double").alias("quality"), _null("int").alias("rn"),
+        )
+        b = q["source_cap"](spark, sf).select(
+            F.lit("source_cap").alias("variant"), "doc_id", "lang", "source",
+            "quality", "rn",
+        )
+        return a.unionByName(b)
+
+    def q_ann_suite(spark, sf):
+        a = q["ann_cosine_topk"](spark, sf).select(
+            F.lit("brute").alias("variant"), "query_id", "neighbor_id",
+            "cos_sim", "rank",
+        )
+        b = q["ann_ivf_topk"](spark, sf).select(
+            F.lit("ivf").alias("variant"), "query_id", "neighbor_id",
+            "cos_sim", "rank",
+        )
+        return a.unionByName(b)
+
+    def q_near_dup_suite(spark, sf):
+        a = q["embedding_near_dup"](spark, sf).select(
+            F.lit("exact").alias("variant"), "vec_a", "vec_b", "cos_sim"
+        )
+        b = q["embedding_near_dup_lsh"](spark, sf).select(
+            F.lit("lsh").alias("variant"), "vec_a", "vec_b", "cos_sim"
+        )
+        return a.unionByName(b)
+
+    def q_multimodal_suite(spark, sf):
+        a = q["multimodal_bmp"](spark, sf).select(
+            F.lit("bmp").alias("variant"), "doc_id", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+            _null("int").alias("sample_rate"), _null("int").alias("n_samples"),
+            _null("double").alias("rms"),
+        )
+        b = q["multimodal_wav"](spark, sf).select(
+            F.lit("wav").alias("variant"), "doc_id",
+            _null("int").alias("width"), _null("int").alias("height"),
+            _null("double").alias("mean_r"), _null("double").alias("mean_g"),
+            _null("double").alias("mean_b"), "sample_rate", "n_samples",
+            "rms",
+        )
+        return a.unionByName(b)
+
+    suites = {
+        "dequeue_topk": q_dequeue_suite,
+        "frontier_build": q_frontier_suite,
+        "fetch_join": q_fetch_suite,
+        "politeness_budget": q_politeness_suite,
+        "host_stats": q_host_stats_suite,
+        "plugin_routing": q_extract_suite,
+        "canonicalize_dedup": q_canon_suite,
+        "dedup_lsh_fast": q_dedup_lsh_fast,
+        "dedup_fingerprint_portable": q_dedup_fp_portable,
+        "text_profile": q_text_profile_suite,
+        "quality_gopher": q_quality_suite,
+        "stratified_sample": q_sample_suite,
+        "ann_topk": q_ann_suite,
+        "embedding_near_dup": q_near_dup_suite,
+        "multimodal_decode": q_multimodal_suite,
+    }
+    # previously unmeasured / previously red / newly oracled first, so a
+    # capped or timing-out driver window still covers them
+    order = [
+        "recrawl_schedule", "agg_pricing", "events_window", "running_sum",
+        "multimodal_decode", "embedding_near_dup", "json_extract",
+        "topk_per_group", "anti_semi_join", "dim_join_rollup",
+        "set_intersect", "pivot_status", "sessionize",
+        "boolean_coerce", "autogen_delta", "ann_topk",
+        "canonicalize_dedup", "frontier_build", "dequeue_topk",
+        "seen_antijoin", "robots_filter", "politeness_budget",
+        "tfidf_topk", "fetch_join", "delta_links", "requeue_schedule",
+        "host_stats", "plugin_routing", "crawl_epoch_flagship",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_lsh_fast",
+        "dedup_fingerprint_portable", "text_profile", "bpe_token_count",
+        "quality_gopher", "span_dedup", "pii_scrub", "stratified_sample",
+        "trap_detection", "dedup_clusters", "dedup_survivors",
+        "corpus_prep", "redirect_resolve", "sitemap_parse",
+        "decontamination", "anchor_stats", "canonical_resolve",
+        "scope_filter", "meta_extract",
+    ]
+    assert len(order) == 50, len(order)
+    final = {name: suites.get(name) or q[name] for name in order}
+    return {name: _wrap(fn) for name, fn in final.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2308,5 +2559,142 @@ SELECT user_id,
        CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id"""
+
+    o["boolean_coerce"] = """
+WITH raws AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 12 AS INT)
+      WHEN 0 THEN 'true' WHEN 1 THEN 'False' WHEN 2 THEN 'YES'
+      WHEN 3 THEN 'n' WHEN 4 THEN '1' WHEN 5 THEN '0'
+      WHEN 6 THEN 'T' WHEN 7 THEN ' f ' WHEN 8 THEN ''
+      WHEN 9 THEN 'maybe' WHEN 10 THEN 'y' ELSE 'No' END AS raw
+  FROM documents
+)
+SELECT doc_id, raw,
+  CASE WHEN lower(trim(raw)) IN ('true','t','yes','y','1') THEN TRUE
+       WHEN lower(trim(raw)) IN ('false','f','no','n','0','') THEN FALSE
+       ELSE CAST(NULL AS BOOLEAN) END AS value
+FROM raws"""
+
+    # autogen_delta: the located largest list grows by exactly one
+    # entry (k = doc_id%3 + 1) between polls; re-emitted entries differ
+    # only in the ignored ts field, so the delta is that one item —
+    # emitted in the CURRENT poll's full form (epoch-1 ts)
+    o["autogen_delta"] = """
+SELECT doc_id AS url_hash,
+  printf('{"id":%d,"ts":%d,"v":%d}',
+         doc_id % 3 + 1,
+         100000 + doc_id,
+         (7 * doc_id + doc_id % 3 + 1) % 13) AS item
+FROM documents"""
+
+    # ---- driver-window suite composition (round 4) ---------------------
+    # Mirrors queries()' folding exactly: tagged UNION ALL for variant
+    # suites, keyed JOIN for per-entity profile suites. Inner SQL is the
+    # unchanged per-variant oracle — wrapped, never rewritten.
+    o["dequeue_topk"] = f"""
+SELECT 'bucket_topk' AS variant, bucket, url, priority, rn
+FROM ({o["dequeue_topk"]})
+UNION ALL
+SELECT 'aged' AS variant, CAST(NULL AS INTEGER) AS bucket, url, priority,
+       CAST(NULL AS INTEGER) AS rn
+FROM ({o.pop("dequeue_aged")})"""
+
+    o["frontier_build"] = f"""
+SELECT 'build' AS variant, url, host, priority, retry_count, state
+FROM ({o["frontier_build"]})
+UNION ALL
+SELECT 'merge' AS variant, url, CAST(NULL AS VARCHAR) AS host,
+       CAST(NULL AS DOUBLE) AS priority, CAST(NULL AS INTEGER) AS retry_count,
+       state
+FROM ({o.pop("frontier_merge")})"""
+
+    o["fetch_join"] = f"""
+SELECT 'fetch' AS variant, url, host, priority, warc_ts,
+       CAST(NULL AS VARCHAR) AS status
+FROM ({o["fetch_join"]})
+UNION ALL
+SELECT 'cond_get' AS variant, url, CAST(NULL AS VARCHAR) AS host,
+       CAST(NULL AS DOUBLE) AS priority, CAST(NULL AS TIMESTAMP) AS warc_ts,
+       status
+FROM ({o.pop("conditional_get")})"""
+
+    o["politeness_budget"] = f"""
+SELECT 'rate' AS variant, host, n_granted, n_deferred
+FROM ({o["politeness_budget"]})
+UNION ALL
+SELECT 'cap5' AS variant, host, n_granted, n_deferred
+FROM ({o.pop("politeness_host_cap")})"""
+
+    o["host_stats"] = f"""
+SELECT s.*, r.rank
+FROM ({o["host_stats"]}) s
+LEFT JOIN ({o.pop("host_pagerank")}) r USING (host)"""
+
+    o["plugin_routing"] = f"""
+SELECT 'routed' AS variant, url, plugin, text
+FROM ({o["plugin_routing"]})
+UNION ALL
+SELECT 'text_udf' AS variant, url, CAST(NULL AS VARCHAR) AS plugin, text
+FROM ({o.pop("extract_text")})"""
+
+    o["canonicalize_dedup"] = f"""
+SELECT 'canon' AS variant, url, priority
+FROM ({o["canonicalize_dedup"]})
+UNION ALL
+SELECT 'idn' AS variant, url, CAST(NULL AS DOUBLE) AS priority
+FROM ({o.pop("idn_normalize")})"""
+
+    o["dedup_fingerprint_portable"] = f"""
+SELECT 'minhash' AS variant, doc_a, doc_b,
+       CAST(n_bands_hit AS DOUBLE) AS score
+FROM ({o.pop("dedup_minhash_portable")})
+UNION ALL
+SELECT 'simhash' AS variant, doc_a, doc_b, CAST(hamming AS DOUBLE) AS score
+FROM ({o.pop("dedup_simhash_portable")})"""
+
+    o["text_profile"] = f"""
+SELECT t.*, s.* EXCLUDE (doc_id)
+FROM ({o["text_profile"]}) t
+JOIN ({o.pop("script_profile")}) s USING (doc_id)"""
+
+    o["quality_gopher"] = f"""
+SELECT g.*, u.n_tokens AS lm_n_tokens, u.mean_logprob
+FROM ({o["quality_gopher"]}) g
+JOIN ({o.pop("unigram_logprob")}) u USING (doc_id)"""
+
+    o["stratified_sample"] = f"""
+SELECT 'stratified' AS variant, doc_id, lang, source,
+       CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS INTEGER) AS rn
+FROM ({o["stratified_sample"]})
+UNION ALL
+SELECT 'source_cap' AS variant, doc_id, lang, source, quality, rn
+FROM ({o.pop("source_cap")})"""
+
+    o["ann_topk"] = f"""
+SELECT 'brute' AS variant, query_id, neighbor_id, cos_sim, rank
+FROM ({o.pop("ann_cosine_topk")})
+UNION ALL
+SELECT 'ivf' AS variant, query_id, neighbor_id, cos_sim, rank
+FROM ({o.pop("ann_ivf_topk")})"""
+
+    o["embedding_near_dup"] = f"""
+SELECT 'exact' AS variant, vec_a, vec_b, cos_sim
+FROM ({o["embedding_near_dup"]})
+UNION ALL
+SELECT 'lsh' AS variant, vec_a, vec_b, cos_sim
+FROM ({o.pop("embedding_near_dup_lsh")})"""
+
+    o["multimodal_decode"] = f"""
+SELECT 'bmp' AS variant, doc_id, width, height, mean_r, mean_g, mean_b,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS INTEGER) AS n_samples, CAST(NULL AS DOUBLE) AS rms
+FROM ({o.pop("multimodal_bmp")})
+UNION ALL
+SELECT 'wav' AS variant, doc_id, CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height, CAST(NULL AS DOUBLE) AS mean_r,
+       CAST(NULL AS DOUBLE) AS mean_g, CAST(NULL AS DOUBLE) AS mean_b,
+       sample_rate, n_samples, rms
+FROM ({o.pop("multimodal_wav")})"""
 
     return o

@@ -242,11 +242,11 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     headline = [
         "crawl_epoch_flagship",
         "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_minhash_portable",
+        "dedup_lsh_fast",
+        "dedup_fingerprint_portable",
         "text_profile",
         "bpe_token_count",
-        "ann_cosine_topk",
+        "ann_topk",
         "quality_gopher",
         "span_dedup",
         "host_stats",
@@ -343,8 +343,11 @@ def main() -> None:
                 f"{'' if clean else '; ALL pairs tainted — untrusted'}) |"
             )
     qtimes = run_queries(SF_DIR, CPUS)
-    crawl = run_crawl(CPUS, SF_DIR, n_epochs=N_EPOCHS)
-    wall = crawl["runs"][0]["wall_s"]
+    # median of 3 crawl runs (warmup epoch first): one noisy window on
+    # this shared host must not set the round artifact (r3's driver
+    # crawl read 2.1× the same code's idle-box wall)
+    crawl = run_crawl(CPUS, SF_DIR, n_epochs=N_EPOCHS, n_runs=3)
+    wall = statistics.median(r["wall_s"] for r in crawl["runs"])
     result.update(
         {
             "metric": "crawl_epochs_plus_headline_queries_wall",

@@ -146,9 +146,13 @@ def routed_extract_udf(html: pd.Series, plugin: pd.Series) -> pd.Series:
 # O-13 — evaluateBoolean [hs: hiispider/evaluateboolean.py †]
 def evaluate_boolean_col(c: Column) -> Column:
     lc = F.lower(F.trim(c.cast("string")))
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+    # boolean cast THROWS on unrecognized spellings and would fail the
+    # whole extraction task; the reference coerces per value, so a
+    # non-boolean yields NULL, never a dead batch
     return F.when(lc.isin("true", "t", "yes", "y", "1"), F.lit(True)).when(
         lc.isin("false", "f", "no", "n", "0", ""), F.lit(False)
-    ).otherwise(c.cast("boolean"))
+    ).otherwise(c.try_cast("boolean"))
 
 
 #: plugin registry — the Spark equivalent of BaseServer.functions

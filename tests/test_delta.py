@@ -92,3 +92,70 @@ def test_explode_items(spark):
         (1, 11, "a"),
         (1, 12, "b"),
     ]
+
+
+# ---- Autogenerator list-locating heuristic ------------------------------
+def test_locate_by_path():
+    from hiispider_spark.operators.delta import locate_item_list
+
+    obj = {"data": {"entries": [{"id": 1}, {"id": 2}], "ids": [9]}}
+    assert locate_item_list(obj, "data.entries") == [{"id": 1}, {"id": 2}]
+    assert locate_item_list(obj, "data.ids") == [9]
+    # integer path segments index into lists
+    nested = {"pages": [{"items": [1, 2, 3]}, {"items": [4]}]}
+    assert locate_item_list(nested, "pages.1.items") == [4]
+    assert locate_item_list(nested, "pages.-1.items") == [4]
+    # missing step / non-list target → []
+    assert locate_item_list(obj, "data.nope") == []
+    assert locate_item_list(obj, "data") == []
+    assert locate_item_list({"a": 1}, "a") == []
+
+
+def test_locate_largest_list():
+    from hiispider_spark.operators.delta import locate_item_list
+
+    obj = {
+        "meta": {"tags": ["a"]},
+        "data": {"entries": [1, 2, 3], "ids": [0, 1]},
+    }
+    assert locate_item_list(obj) == [1, 2, 3]
+    # root-level list is just the largest-list case
+    assert locate_item_list([5, 6]) == [5, 6]
+    # nested lists inside lists are walked too
+    assert locate_item_list({"a": [[1, 2, 3, 4], [9]]}) == [1, 2, 3, 4]
+    # tie → earliest in depth-first document order (deterministic)
+    assert locate_item_list({"x": [1, 2], "y": [3, 4]}) == [1, 2]
+    # no list anywhere / non-container root
+    assert locate_item_list({"a": {"b": 1}}) == []
+    assert locate_item_list(42) == []
+
+
+def test_autogen_delta_end_to_end(spark):
+    from hiispider_spark.operators.delta import autogen_delta
+
+    def payload(epoch, ks):
+        items = ",".join(
+            '{"id":%d,"ts":%d,"v":%d}' % (k, epoch * 1000 + k, k * 7 % 13)
+            for k in ks
+        )
+        return (
+            '{"meta":{"page":1},"data":{"entries":[%s],"ids":[0]}}' % items
+        )
+
+    prev = spark.createDataFrame(
+        [(1, payload(0, [0, 1])), (2, payload(0, [0]))],
+        "url_hash long, payload string",
+    )
+    cur = spark.createDataFrame(
+        [(1, payload(1, [0, 1, 2])), (2, payload(1, [0])), (3, "not json")],
+        "url_hash long, payload string",
+    )
+    got = autogen_delta(cur, prev, ignores=("ts",)).collect()
+    # url 1: item id=2 is new; ids 0/1 re-emitted with moved ts → NOT new
+    # url 2: identical item set → no delta; url 3: non-JSON → no items
+    assert len(got) == 1
+    assert got[0].url_hash == 1
+    assert json.loads(got[0].item) == {"id": 2, "ts": 1002, "v": 1}
+    # without ignores, the moved ts makes every re-emitted item "new"
+    noisy = autogen_delta(cur, prev).collect()
+    assert len(noisy) == 4
