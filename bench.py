@@ -81,6 +81,31 @@ def _wait_quiet(
     return busy
 
 
+def _quiet_stop(spark) -> None:
+    """Stop a session without teardown spam: late task-completion
+    events race the closing Python-accumulator socket in local mode
+    (all actions already returned; rc stays 0) and each race prints a
+    full ERROR stack into the artifact. Drain briefly, mute exactly
+    the loggers that carry the benign race, then stop."""
+    time.sleep(1.0)
+    try:
+        jvm = spark.sparkContext._jvm
+        level = jvm.org.apache.logging.log4j.Level.OFF
+        for logger in (
+            "org.apache.spark.scheduler.DAGScheduler",
+            "org.apache.spark.scheduler.TaskSetManager",
+            "org.apache.spark.executor.Executor",
+            "org.apache.spark.api.python.PythonAccumulatorV2",
+            "org.apache.spark.util.Utils",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, level
+            )
+    except Exception:
+        pass  # logging backend differs → keep the (benign) spam
+    spark.stop()
+
+
 def _corpus(spark, sf_dir: str, mult: int, pages_dir: str):
     """Synthesize the corpus once and land pages as a parquet table —
     the production shape (a page store is scanned, never cached)."""
@@ -216,21 +241,41 @@ def run_crawl(
     finally:
         if own_pages_dir:
             shutil.rmtree(pages_dir, ignore_errors=True)
-        # teardown races: late task-completion events merge
-        # PythonAccumulatorV2 against the already-closed accumulator
-        # socket — harmless (all actions returned; rc=0) but each one
-        # prints a full ERROR stack. Drain briefly, then mute exactly
-        # that logger for the stop window.
-        time.sleep(1.0)
-        try:
-            jvm = spark.sparkContext._jvm
-            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                "org.apache.spark.scheduler.DAGScheduler",
-                jvm.org.apache.logging.log4j.Level.OFF,
-            )
-        except Exception:
-            pass  # logging backend differs → keep the (benign) spam
-        spark.stop()
+        _quiet_stop(spark)
+
+
+def run_calibration(cpus: int, n_rows: int = 2 * 10**8) -> float:
+    """Pure-JVM CPU-bound throughput (rows/s): a whole-stage-codegen
+    xxhash64 chain over range() — zero Python stages, no shuffle
+    beyond the final 1-row agg. Run at both legs of a scaling pair it
+    measures how much of the crawl's efficiency gap is Spark-constant
+    platform overhead (scheduler, SMT saturation) vs engine design:
+    crawl-eff ≈ calibration-eff means the engine adds no scaling
+    penalty of its own."""
+    from pyspark.sql import functions as F
+
+    from hiispider_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"calib-local{cpus}", cpus=cpus, shuffle_partitions=cpus
+    )
+    try:
+        c = F.col("id")
+        h = F.xxhash64(c)
+        for _ in range(8):
+            h = F.xxhash64(h, c)
+        # bit_xor agg: sum() of hashes overflows LONG under ANSI mode
+        # one warm pass for JIT, then the timed pass
+        spark.range(n_rows // 10, numPartitions=cpus * 4).select(
+            F.bit_xor(h)
+        ).collect()
+        t0 = time.time()
+        spark.range(n_rows, numPartitions=cpus * 4).select(
+            F.bit_xor(h)
+        ).collect()
+        return round(n_rows / (time.time() - t0), 1)
+    finally:
+        _quiet_stop(spark)
 
 
 def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
@@ -266,7 +311,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
             qs[name](spark, sf_dir).count()
             out[name] = round(time.time() - t0, 2)
     finally:
-        spark.stop()
+        _quiet_stop(spark)
     return out
 
 
@@ -299,6 +344,11 @@ def main() -> None:
                     epoch_seconds=3600.0, n_runs=1,
                     pages_dir=corpus_dir, warmup=True,
                 )
+                # pure-JVM calibration inside the same quiet window:
+                # how much eff the PLATFORM gives a zero-Python,
+                # zero-shuffle codegen loop on this exact cpu pair
+                cal_lo = run_calibration(lo_c)
+                cal_hi = run_calibration(hi_c)
                 post = _cpu_busy_frac()
                 t_lo = lo["median_urls_per_sec"]
                 t_hi = hi["median_urls_per_sec"]
@@ -306,6 +356,9 @@ def main() -> None:
                     "t_lo": t_lo,
                     "t_hi": t_hi,
                     "eff": round((t_hi / t_lo) / (hi_c / lo_c), 3),
+                    "calib_lo_rows_s": cal_lo,
+                    "calib_hi_rows_s": cal_hi,
+                    "calib_eff": round((cal_hi / cal_lo) / (hi_c / lo_c), 3),
                     "ext_busy_pre": round(pre, 3),
                     "ext_busy_post": round(post, 3),
                 }
@@ -322,6 +375,9 @@ def main() -> None:
         eff = statistics.median(p["eff"] for p in pairs)
         t_lo_med = statistics.median(p["t_lo"] for p in pairs)
         t_hi_med = statistics.median(p["t_hi"] for p in pairs)
+        calib_eff = statistics.median(
+            p["calib_eff"] for p in pairs if "calib_eff" in p
+        )
         result["scaling"] = {
             "pair": [lo_c, hi_c],
             "pairs": pairs,
@@ -329,6 +385,8 @@ def main() -> None:
             "t_lo_median": t_lo_med,
             "t_hi_median": t_hi_med,
             "efficiency": round(eff, 3),
+            "calibration_efficiency": round(calib_eff, 3),
+            "eff_vs_platform": round(eff / calib_eff, 3) if calib_eff else None,
         }
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "a") as f:
@@ -336,9 +394,12 @@ def main() -> None:
                 f"\n| {time.strftime('%Y-%m-%d %H:%M')} | sf0.1×{SCALING_MULT} | "
                 f"T_{lo_c}={t_lo_med} urls/s | "
                 f"T_{hi_c}={t_hi_med} urls/s | "
-                f"eff={eff:.3f} (median of {len(pairs)} quiet-gated "
+                f"eff={eff:.3f}, calib-eff={calib_eff:.3f} "
+                f"(crawl/platform={eff / calib_eff:.3f}) "
+                f"(median of {len(pairs)} quiet-gated "
                 f"interleaved pairs; per-pair effs "
-                f"{[p['eff'] for p in pairs]}; "
+                f"{[p['eff'] for p in pairs]}; calib effs "
+                f"{[p.get('calib_eff') for p in pairs]}; "
                 f"{len(tainted)} pair(s) discarded for external load"
                 f"{'' if clean else '; ALL pairs tainted — untrusted'}) |"
             )
