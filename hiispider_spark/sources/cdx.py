@@ -73,9 +73,12 @@ def read_cdxj(lines: DataFrame, text_col: str = "value") -> DataFrame:
     # first two space-delimited fields; the JSON block may itself
     # contain spaces, so split with a limit instead of tokenizing
     parts = F.split(line, " ", 3)
-    urlkey = parts.getItem(0)
-    ts = parts.getItem(1)
-    blob = parts.getItem(2)
+    # F.get, not getItem: under ANSI mode (Spark 4 default) an
+    # out-of-bounds index THROWS — a blank/short line must yield NULLs,
+    # never a dead task
+    urlkey = F.get(parts, 0)
+    ts = F.get(parts, 1)
+    blob = F.get(parts, 2)
     j = F.from_json(blob, CDXJ_JSON_SCHEMA)
     out = lines.select(
         urlkey.alias("urlkey"),
@@ -117,7 +120,7 @@ def read_cdx_classic(lines: DataFrame, text_col: str = "value") -> DataFrame:
     parts = F.split(line, " ")
     nulled = {}
     for i, (name, _typ) in enumerate(_CLASSIC_FIELDS):
-        c = parts.getItem(i)
+        c = F.get(parts, i)  # NULL (not ANSI throw) past a short line
         nulled[name] = F.when(c == "-", F.lit(None)).otherwise(c)
     out = lines.filter(
         ~F.startswith(line, F.lit("CDX ")) & (F.size(parts) >= 11)
