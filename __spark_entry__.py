@@ -1179,9 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return F.lit(None).cast(typ)
 
     def q_dequeue_suite(spark, sf):
-        a = q[  # windowed per-bucket top-k
-            "dequeue_topk"
-        ](spark, sf).select(
+        # windowed per-bucket top-k + the aging-weight starvation guard
+        a = q["dequeue_topk"](spark, sf).select(
             F.lit("bucket_topk").alias("variant"), "bucket", "url",
             "priority", "rn",
         )
