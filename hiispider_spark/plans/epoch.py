@@ -147,6 +147,24 @@ class EpochConfig:
     recrawl_max_s: float = 604800.0
 
 
+#: target rows per delta data file. Delta dirs are read back UNIONED
+#: every epoch until compaction, so their file count is pure read
+#: fan-in: a fixed coalesce(P) writes P near-empty files at sandbox
+#: scale (measured ~1k rows/file — scan setup dominates), while one
+#: giant file at 10^10 scale would serialize the write. The epoch
+#: KNOWS its delta row counts before writing (n_dequeued, n_inserted,
+#: n_fetched are already materialized), so the file count derives from
+#: them: ceil(rows / ROWS_PER_DELTA_FILE), capped at the table's
+#: partition count.
+ROWS_PER_DELTA_FILE = 500_000
+
+
+def _delta_files(rows: int, cap: int) -> int:
+    """File count for a delta of ``rows`` rows: bounded file sizes,
+    minimal read fan-in."""
+    return max(1, min(cap, rows // ROWS_PER_DELTA_FILE + 1))
+
+
 def epoch_timestamp(epoch: int, epoch_seconds: float = EPOCH_SECONDS) -> str:
     t0 = datetime.fromisoformat(EPOCH0)
     return (t0 + timedelta(seconds=epoch * epoch_seconds)).strftime(
@@ -448,8 +466,11 @@ def run_epoch(
                 inserted.select(*FRONTIER_COLS)
             )
         # the 3-way union stacks ~3×P partitions → 3×P files; merge
-        # narrow (no shuffle) so the delta lands as P files
-        frontier_delta = frontier_delta.coalesce(cfg.n_partitions)
+        # narrow (no shuffle) down to a row-count-derived file count
+        # (delta rows ≈ dequeued slice + inserts, both already counted)
+        frontier_delta = frontier_delta.coalesce(
+            _delta_files(n_dequeued + n_inserted, cfg.n_partitions)
+        )
         new_frontier = None
     else:
         # partition-level overwrite: only buckets this epoch touched
@@ -484,7 +505,8 @@ def run_epoch(
         # touched hosts. O(slice) rows, a handful of files; no carried
         # read, no per-table parts collect.
         cache_job = lambda: cat.stage_append_delta(  # noqa: E731
-            "page_cache", cache_rows.coalesce(8)
+            "page_cache",
+            cache_rows.coalesce(_delta_files(n_fetched, cfg.n_partitions)),
         )
         politeness_job = lambda: cat.stage_append_delta(  # noqa: E731
             "politeness", new_state.coalesce(1)
