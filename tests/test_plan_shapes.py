@@ -156,3 +156,42 @@ def test_anchor_summary_uses_window_group_limit(spark):
     )
     p = plan_of(lk.anchor_summary(anchors, top_k=2))
     assert "WindowGroupLimit" in p
+
+
+def test_autogen_delta_membership_is_hashed_anti_join(spark):
+    """The Autogenerator delta's membership test must shuffle 8-byte
+    xxhash64 keys, never payload strings, and the item-locating UDF
+    must be Arrow-batched (ArrowEvalPython), not row-at-a-time
+    (BatchEvalPython)."""
+    from hiispider_spark.operators.delta import autogen_delta
+
+    cur = spark.createDataFrame(
+        [(1, '{"a": [1, 2, 3]}')], "url_hash long, payload string"
+    )
+    prev = spark.createDataFrame(
+        [(1, '{"a": [1, 2]}')], "url_hash long, payload string"
+    )
+    p = plan_of(autogen_delta(cur, prev))
+    assert "xxhash64" in p
+    assert "LeftAnti" in p
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_cdxj_scan_is_python_free_with_pruning(spark, tmp_path):
+    """The CDXJ parse is pure JVM (no Python eval nodes) and a
+    downstream projection prunes unparsed JSON fields at from_json
+    (Catalyst's OptimizeJsonExprs/column pruning)."""
+    from hiispider_spark.sources import cdx
+
+    path = str(tmp_path / "idx.cdxj")
+    with open(path, "w") as f:
+        f.write(
+            'org,h)/p 20240101000000 {"url": "http://h.example.org/p",'
+            ' "status": "200", "mime": "text/html", "filename": "a.warc.gz"}\n'
+        )
+    caps = cdx.read_cdxj(spark.read.text(path)).select("url", "http_status")
+    p = plan_of(caps)
+    assert "EvalPython" not in p  # no Python anywhere in the parse
+    rows = caps.collect()
+    assert rows == [("http://h.example.org/p", 200)]
