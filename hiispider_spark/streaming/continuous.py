@@ -79,3 +79,116 @@ def crawl_stream(
         .start()
     )
     return query, stats
+
+
+def stream_cdx_frontier(
+    spark: SparkSession,
+    cat: IcebergLike,
+    cdx_dir: str,
+    cfg: EpochConfig = EpochConfig(),
+    glob: str = "*.cdxj",
+    trigger_s: float = 1.0,
+    max_batches: int | None = None,
+):
+    """Continuous index-driven seed ingestion: CDXJ files landing in
+    ``cdx_dir`` stream into the frontier — the always-on form of the
+    bootstrap path (a production recrawl keeps discovering new capture
+    indexes while the epoch loop runs).
+
+    Per micro-batch (only NEW files — the file source's checkpoint at
+    ``<catalog>/_cdx_ckpt`` tracks what's been read):
+
+    1. parse lines → captures → :func:`~hiispider_spark.sources.cdx.cdx_seeds`
+       (status/mime filter, latest capture per url, recency priority);
+    2. ``build_frontier`` canonicalizes/dedups/buckets them;
+    3. anti-join against the committed frontier (idempotent: re-shipped
+       index files insert nothing);
+    4. commit inserts as a frontier delta (O(new rows)) AND keep the
+       seen set whole: ``seen_exact`` gets the delta by reference, and
+       the touched partitions' bloom filters OR in the new hashes —
+       REQUIRED for correctness, not an optimization: the epoch's link
+       probe trusts a bloom miss as "definitely new" without an exact
+       check, so an insert that skipped the bloom would let the same
+       URL insert again on next discovery.
+
+    Returns (StreamingQuery, stats) like :func:`crawl_stream`; a
+    failed batch rolls back its staged writes before re-raising (same
+    within-process guarantee as the crawl stream).
+    """
+    from hiispider_spark.operators import seen as seen_ops
+    from hiispider_spark.operators.frontier import build_frontier
+    from hiispider_spark.plans.epoch import _delta_files
+    from hiispider_spark.sources.cdx import cdx_seeds, read_cdxj
+
+    stats: list[dict] = []
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        if max_batches is not None and len(stats) >= max_batches:
+            return
+        try:
+            seeds = cdx_seeds(read_cdxj(batch))
+            rows = build_frontier(
+                seeds, cfg.n_partitions, cfg.n_salts, cfg.interval_s,
+                stagger_s=cfg.boot_stagger_s,
+            )
+            existing = cat.read("frontier")
+            inserted = (
+                rows.join(
+                    existing.select("url_hash"), "url_hash", "left_anti"
+                )
+                .select(*existing.columns)
+                .persist()
+            )
+            per_part = inserted.groupBy("part_id").count().collect()
+            n = int(sum(r["count"] for r in per_part))
+            if n:
+                parts = sorted(r.part_id for r in per_part)
+                if cfg.state_deltas:
+                    cat.stage_append_delta(
+                        "frontier",
+                        inserted.coalesce(_delta_files(n, cfg.n_partitions)),
+                        n_new_keys=n,
+                    )
+                    cat.stage_append_ref(
+                        "seen_exact", cat.staged_delta_rels("frontier")[-1:]
+                    )
+                else:
+                    merged = cat.read_parts("frontier", parts).unionByName(
+                        inserted
+                    )
+                    cat.stage_overwrite_parts(
+                        "frontier", merged, "part_id", parts
+                    )
+                    cat.stage_append(
+                        "seen_exact", inserted.select("url_hash").coalesce(8)
+                    )
+                cat.stage_overwrite_parts(
+                    "seen_set",
+                    seen_ops.merge_partition_blooms(
+                        cat.read_parts("seen_set", parts, "partition_id"),
+                        inserted.select("part_id", "url_hash"),
+                        cfg.bloom_m_bits,
+                    ),
+                    "partition_id",
+                    parts,
+                )
+                # ingest is not a crawl tick: the epoch counter stays
+                cat.commit(epoch=cat.epoch)
+            inserted.unpersist()
+            stats.append({"batch": int(batch_id), "n_inserted": n})
+        except BaseException:
+            cat.rollback_staged()
+            raise
+
+    query = (
+        spark.readStream.option("pathGlobFilter", glob)
+        .text(cdx_dir)
+        .writeStream.foreachBatch(one_batch)
+        .trigger(processingTime=f"{trigger_s} seconds")
+        .option(
+            "checkpointLocation", os.path.join(cat.root, "_cdx_ckpt")
+        )
+        .queryName("cdx_ingest")
+        .start()
+    )
+    return query, stats

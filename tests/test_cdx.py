@@ -107,3 +107,69 @@ def test_cdx_seeds_bootstrap_epoch(spark, tmp_path):
     fr = cat.read("frontier")
     assert fr.count() == 5
     assert fr.filter(F.col("state") == "pending").count() == 5
+
+
+def test_stream_cdx_frontier_ingest(spark, tmp_path):
+    """Continuous index ingestion end to end: CDXJ files stream into
+    the frontier (idempotent on re-shipped content), and the seen set
+    stays WHOLE — bloom + exact both know the ingested hashes, so the
+    epoch's link probe cannot re-insert them."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hiispider_spark.operators import seen as seen_ops
+    from hiispider_spark.plans.epoch import EpochConfig, bootstrap
+    from hiispider_spark.sources.catalog import IcebergLike
+    from hiispider_spark.streaming.continuous import stream_cdx_frontier
+
+    cfg = EpochConfig(k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17)
+    cat = IcebergLike(spark, str(tmp_path / "cat"))
+    boot = spark.createDataFrame(
+        [("http://h.example.org/p/0", 1.0)], "url string, priority double"
+    )
+    bootstrap(spark, cat, boot, cfg)
+
+    cdx_dir = str(tmp_path / "idx")
+    os.makedirs(cdx_dir)
+
+    def line(i):
+        return (
+            f'org,h)/p/{i} 2024010100000{i % 10} '
+            f'{{"url": "http://h.example.org/p/{i}", "status": "200",'
+            f' "mime": "text/html", "filename": "x.warc.gz"}}'
+        )
+
+    # file 1: urls 0..4 (0 already in the frontier from bootstrap)
+    with open(os.path.join(cdx_dir, "a.cdxj"), "w") as f:
+        f.write("\n".join(line(i) for i in range(5)))
+
+    query, stats = stream_cdx_frontier(
+        spark, cat, cdx_dir, cfg, trigger_s=0.3, max_batches=2
+    )
+    try:
+        deadline = time.time() + 60
+        while len(stats) < 1 and time.time() < deadline:
+            time.sleep(0.3)
+        # file 2: urls 3..7 (3, 4 duplicate file 1) — lands mid-stream
+        with open(os.path.join(cdx_dir, "b.cdxj"), "w") as f:
+            f.write("\n".join(line(i) for i in range(3, 8)))
+        while len(stats) < 2 and time.time() < deadline:
+            time.sleep(0.3)
+    finally:
+        query.stop()
+
+    assert [s["n_inserted"] for s in stats] == [4, 3]  # idempotent
+    fr = cat.read("frontier")
+    assert fr.count() == 8
+    assert fr.select("url_hash").distinct().count() == 8  # no dup keys
+    # seen set is whole: bloom ∧ exact agree the ingested urls are seen
+    ingested = fr.select("part_id", "url_hash", "url", "host")
+    unseen = seen_ops.filter_unseen_partitioned(
+        ingested.withColumn("salt", F.lit(0)),
+        cat.read("seen_set"),
+        cat.read("seen_exact"),
+        cfg.bloom_m_bits,
+    )
+    assert unseen.count() == 0
