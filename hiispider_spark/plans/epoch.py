@@ -647,6 +647,10 @@ def run_epoch(
         "n_extracted": n_extracted,
         "phase_walls": walls,
         "write_walls": write_walls,
+        # observability for the read-amplification bound: which state
+        # tables folded their deltas this epoch (bench artifacts show
+        # the dequeue wall reset the epoch after)
+        "compacted": compacted,
     }
     if cfg.collect_stats:
         # no jobs here: granted partitions into fetched ⊎ failed (the
