@@ -229,9 +229,18 @@ def run_epoch(
         _t0 = t
 
     frontier = cat.read("frontier")
-    # each persisted stage is materialized (count) before dependents
-    # fan out — otherwise sibling branches of the final union race to
-    # compute the same uncached subtree in one job, duplicating work
+    # Materialization discipline (r4): every persisted frame is
+    # guaranteed materialized BEFORE the concurrent write pool starts —
+    # by the dequeue collect (sl), the fused politeness+fetch+failed
+    # job (bucketed, fetched, fetched_meta, failed), the extract count
+    # (extracted_new), and the inserted collect (hashed, inserted).
+    # Between those serial jobs there are NO redundant eager counts:
+    # an intermediate count only moves the same work one job earlier
+    # (measured wall-neutral at sandbox scale, one fewer scheduling
+    # round per dropped count — which is what matters at 1000
+    # executors). The sibling-race the old per-stage counts guarded
+    # against can only occur across CONCURRENT jobs, and the write
+    # pool is the only concurrency in the epoch.
     sl = dequeue_topk(
         frontier, ts, cfg.k_per_partition, aging_weight=cfg.aging_weight
     ).persist()
@@ -266,9 +275,13 @@ def run_epoch(
         bucketed_raw = bucketed.persist()
         bucketed_raw.count()
         bucketed = pol.apply_global_cap(bucketed_raw, cfg.max_inflight)
+    # persisted but NOT eagerly counted: the first downstream
+    # materialization (the failed/fetched_meta job below) computes the
+    # politeness stage once into the cache, and every later consumer —
+    # including the concurrent write jobs — reads the cached blocks.
+    # An eager count here was one extra scheduling round per epoch
+    # whose only effect was moving the same work one job earlier.
     bucketed = bucketed.persist()
-    bucketed.count()
-    _mark("politeness")
     granted = bucketed.filter(F.col("granted")).select(*FRONTIER_COLS)
     deferred = bucketed.filter(~F.col("granted")).select(*FRONTIER_COLS)
 
@@ -278,8 +291,6 @@ def run_epoch(
     # to local disk scales linearly with cores.
     fetched, _ = fetch_join(granted, pages)
     fetched = with_content_sha1(fetched).persist(StorageLevel.DISK_ONLY)
-    n_fetched = fetched.count()
-    _mark("fetch")
     # narrow twin of the fetch result: requeue/failed/lineage/page-cache
     # only need frontier columns + digest + length — reading those
     # through the html-bearing DISK_ONLY cache re-scans ~KB-wide rows
@@ -296,10 +307,15 @@ def run_epoch(
     failed = granted.join(
         fetched_meta.select("url"), "url", "left_anti"
     ).persist()
-    # one job materializes failed AND fetched_meta; the count also
-    # closes the stats arithmetic (granted = fetched ⊎ failed), so
-    # stats-on costs zero extra jobs
+    # ONE job materializes politeness + fetch + sha1 + the slim meta
+    # twin + failed (the fused sched/fetch stage): computing failed
+    # scans fetched_meta, whose projection pulls the DISK_ONLY fetched
+    # cache into existence through the whole upstream chain. n_fetched
+    # is then a cached-read count (cheap second job), and the stats
+    # arithmetic closes as granted = fetched ⊎ failed.
     n_failed = failed.count()
+    n_fetched = fetched_meta.count()
+    _mark("politeness_fetch")
     # conditional GET against the compact page_cache state table —
     # O(slice) per epoch (only touched buckets' cache files open),
     # never a scan+aggregate of the ever-growing extracted history
@@ -377,8 +393,11 @@ def run_epoch(
             )
             .persist()
         )
-        hashed.count()
-        _mark("links_hash")
+        # persisted, lazily materialized: the inserted job below is the
+        # first (and, with the trap agg's broadcast subtree, second)
+        # consumer — both inside ONE job, so the cache fills once and
+        # no concurrent-first-use race exists (the write pool starts
+        # only after the inserted collect)
         candidates = hashed
         if cfg.trap_guard:
             from hiispider_spark.operators import traps as tr
@@ -407,7 +426,7 @@ def run_epoch(
         ins_per_part = inserted.groupBy("part_id").count().collect()
         ins_parts = sorted(r.part_id for r in ins_per_part)
         n_inserted = int(sum(r["count"] for r in ins_per_part))
-        _mark("seen_insert")
+        _mark("links_seen")
     else:
         n_inserted = 0
 
