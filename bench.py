@@ -3,7 +3,12 @@
 Default run: headline suite at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] — a multi-epoch crawl (north metric: URLs
 fetched+extracted per second) plus representative operator timings.
-Prints ONE JSON line.
+
+Stdout contract: the FINAL line is the compact headline JSON (metric,
+value, unit, per-query seconds, median urls/s, scaling summary —
+≤1.5 kB, because the round driver keeps only the last ~2000 chars of
+stdout and parses the last line). Verbose per-epoch/per-phase detail
+goes to an EARLIER stdout line and BENCH/last_run_detail.json.
 
 ``python bench.py --scaling``: runs one production-shaped heavy epoch
 (corpus ×$BENCH_SCALING_MULT, politeness budget = 1h) at two
@@ -278,35 +283,45 @@ def run_calibration(cpus: int, n_rows: int = 2 * 10**8) -> float:
         _quiet_stop(spark)
 
 
+#: headline operator suite — every name MUST exist in the driver
+#: contract's queries() registry (asserted at bench start, so a suite
+#: rename can never silently bench a stale name again)
+HEADLINE_QUERIES = [
+    "crawl_epoch_flagship",
+    "dedup_exact",
+    "dedup_lsh_fast",
+    "dedup_fingerprint_portable",
+    "text_profile",
+    "bpe_token_count",
+    "ann_topk",
+    "quality_gopher",
+    "span_dedup",
+    "host_stats",
+    "seen_antijoin",
+    "politeness_budget",
+    "redirect_resolve",
+    "decontamination",
+    "scope_filter",
+]
+
+
 def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     """Representative operator timings (seconds, action = count)."""
     import __spark_entry__ as entrymod
 
     from hiispider_spark.session import get_spark
 
-    headline = [
-        "crawl_epoch_flagship",
-        "dedup_exact",
-        "dedup_lsh_fast",
-        "dedup_fingerprint_portable",
-        "text_profile",
-        "bpe_token_count",
-        "ann_topk",
-        "quality_gopher",
-        "span_dedup",
-        "host_stats",
-        "seen_antijoin",
-        "politeness_budget",
-        "redirect_resolve",
-        "decontamination",
-        "scope_filter",
-    ]
+    qs = entrymod.queries()
+    missing = [n for n in HEADLINE_QUERIES if n not in qs]
+    assert not missing, (
+        f"bench headline names missing from queries(): {missing} — "
+        "a suite rename must update HEADLINE_QUERIES"
+    )
     spark = get_spark(app="bench-queries", cpus=cpus, shuffle_partitions=32)
     out: dict[str, float] = {}
     try:
         _warm_python_workers(spark, cpus)
-        qs = entrymod.queries()
-        for name in headline:
+        for name in HEADLINE_QUERIES:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             out[name] = round(time.time() - t0, 2)
@@ -378,6 +393,7 @@ def main() -> None:
         calib_eff = statistics.median(
             p["calib_eff"] for p in pairs if "calib_eff" in p
         )
+        eff_vs_platform = round(eff / calib_eff, 3) if calib_eff else None
         result["scaling"] = {
             "pair": [lo_c, hi_c],
             "pairs": pairs,
@@ -386,16 +402,30 @@ def main() -> None:
             "t_hi_median": t_hi_med,
             "efficiency": round(eff, 3),
             "calibration_efficiency": round(calib_eff, 3),
-            "eff_vs_platform": round(eff / calib_eff, 3) if calib_eff else None,
+            "eff_vs_platform": eff_vs_platform,
         }
         os.makedirs("BENCH", exist_ok=True)
+        # persist the scaling summary so the default (driver) run can
+        # surface the scaling story in its compact headline line
+        with open("BENCH/scaling_latest.json", "w") as f:
+            json.dump(
+                {
+                    "pair": [lo_c, hi_c],
+                    "crawl_eff": round(eff, 3),
+                    "calib_eff": round(calib_eff, 3),
+                    "eff_vs_platform": eff_vs_platform,
+                    "clean": clean,
+                    "measured_at": time.strftime("%Y-%m-%d %H:%M"),
+                },
+                f,
+            )
         with open("BENCH/BASELINE.md", "a") as f:
             f.write(
                 f"\n| {time.strftime('%Y-%m-%d %H:%M')} | sf0.1×{SCALING_MULT} | "
                 f"T_{lo_c}={t_lo_med} urls/s | "
                 f"T_{hi_c}={t_hi_med} urls/s | "
                 f"eff={eff:.3f}, calib-eff={calib_eff:.3f} "
-                f"(crawl/platform={eff / calib_eff:.3f}) "
+                f"(crawl/platform={eff_vs_platform}) "
                 f"(median of {len(pairs)} quiet-gated "
                 f"interleaved pairs; per-pair effs "
                 f"{[p['eff'] for p in pairs]}; calib effs "
@@ -409,18 +439,47 @@ def main() -> None:
     # crawl read 2.1× the same code's idle-box wall)
     crawl = run_crawl(CPUS, SF_DIR, n_epochs=N_EPOCHS, n_runs=3)
     wall = statistics.median(r["wall_s"] for r in crawl["runs"])
-    result.update(
-        {
-            "metric": "crawl_epochs_plus_headline_queries_wall",
-            "value": round(wall + sum(qtimes.values()), 2),
-            "unit": "sec",
-            "queries": {**qtimes, "crawl_epochs": wall},
-            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
-            "cpus": CPUS,
-            "crawl": crawl,
+    med_urls = crawl["median_urls_per_sec"]
+    # verbose per-epoch/per-phase detail: its own EARLIER stdout line +
+    # a file — the driver's artifact keeps only the last ~2000 chars of
+    # stdout, so the FINAL line must stay compact or the whole round
+    # loses its machine-parsed metric (r4 shipped parsed:null this way)
+    detail = dict(result)
+    detail["crawl"] = crawl
+    detail["queries_detail"] = qtimes
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run_detail.json", "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"detail": detail}))
+    headline = {
+        "metric": "crawl_epochs_plus_headline_queries_wall",
+        "value": round(wall + sum(qtimes.values()), 2),
+        "unit": "sec",
+        "queries": {**qtimes, "crawl_epochs": wall},
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "cpus": CPUS,
+        "median_urls_per_sec": med_urls,
+    }
+    if "scaling" in result:
+        s = result["scaling"]
+        headline["scaling"] = {
+            "pair": s["pair"],
+            "crawl_eff": s["efficiency"],
+            "calib_eff": s["calibration_efficiency"],
+            "eff_vs_platform": s["eff_vs_platform"],
         }
-    )
-    print(json.dumps(result))
+    elif os.path.isfile("BENCH/scaling_latest.json"):
+        # most recent --scaling measurement (labeled with its date):
+        # the driver's default run carries the scaling story forward
+        with open("BENCH/scaling_latest.json") as f:
+            headline["scaling"] = json.load(f)
+    line = json.dumps(headline)
+    # hard guard: the artifact-of-record line must survive the driver's
+    # 2000-char stdout tail; drop optional detail before ever exceeding it
+    if len(line) > 1500:
+        headline.pop("scaling", None)
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":
