@@ -137,7 +137,16 @@ def autogen_delta(
     shape identity, delivers the fresh data). 100 TB shape: the UDF is
     the only Python; membership is an xxhash64 left-anti join keyed by
     (key, normalized item) — 8-byte shuffle keys, never payload
-    strings."""
+    strings.
+
+    Guarantee boundary: membership is HASHED, not exact — a 64-bit
+    collision between a previous item and a genuinely new item under
+    the same key silently suppresses the new item (P ≈ m²/2⁶⁵ per key
+    for m items; with m ≤ 10⁴ items per page that is < 10⁻¹¹ per key).
+    Unlike the seen-set bloom there is no exact check behind it; a
+    deployment that cannot tolerate that loss mode should carry the
+    normalized string through the join (``compute_delta`` on small
+    row counts) and equality-confirm."""
     loc_full = autogen_items_udf(path, ())
     loc_norm = autogen_items_udf(path, ignores)
 

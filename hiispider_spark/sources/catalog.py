@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,6 +80,19 @@ class IcebergLike:
         os.makedirs(root, exist_ok=True)
         self._staged: dict[str, dict[str, Any]] = {}
         self.manifest = self._load_manifest()
+        # Single-writer transaction lock. ``_staged`` is TRANSACTION-
+        # GLOBAL: commit() publishes everything staged and
+        # rollback_staged() wipes everything staged, so two concurrent
+        # writers (e.g. the crawl stream and the CDX ingest stream over
+        # one catalog) would co-commit each other's half-staged tables
+        # or wipe each other's work. Every stage→commit/rollback
+        # sequence must run under this lock (the streaming foreachBatch
+        # bodies do); with writers serialized, each transaction's
+        # staged set is exactly its own, so commit/rollback scope is
+        # correct by construction. Per-table write jobs WITHIN one
+        # transaction (run_epoch's thread pool) are fine: dict writes
+        # to distinct keys under the GIL, one committing thread.
+        self.write_lock = threading.RLock()
 
     # ------------------------------------------------------------- manifest
     def _manifest_path(self) -> str:

@@ -181,7 +181,15 @@ def cdx_seeds(
         - F.unix_timestamp(F.lit("2020-01-01 00:00:00").cast("timestamp"))
     ) / 86400.0
     pri = F.round(age_days / 3650.0, 6)
+    # a capture whose timestamp failed to parse (warc_ts NULL — see
+    # _ts14_to_timestamp) must still seed: "never lose a URL". Unknown
+    # capture age is treated as oldest (priority 0.0). Spark's
+    # greatest() skips NULLs so the clamp alone would land there too,
+    # but that's an engine-specific NULL rule — the coalesce makes the
+    # contract explicit and engine-portable.
     return latest.select(
         "url",
-        F.least(F.greatest(pri, F.lit(0.0)), F.lit(1.0)).alias("priority"),
+        F.coalesce(
+            F.least(F.greatest(pri, F.lit(0.0)), F.lit(1.0)), F.lit(0.0)
+        ).alias("priority"),
     )

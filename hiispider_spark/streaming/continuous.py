@@ -54,17 +54,24 @@ def crawl_stream(
     def one_epoch(_batch: DataFrame, _batch_id: int) -> None:
         if max_epochs is not None and len(stats) >= max_epochs:
             return
-        try:
-            stats.append(run_epoch(spark, cat, pages, robots, cfg))
-        except BaseException:
-            # a failed epoch must not leave its staged appends behind:
-            # IcebergLike._staged survives in-process, so a retry (or
-            # the next trigger) would commit the dead attempt's files
-            # alongside its own, duplicating extracted/lineage rows.
-            # Crash-replay across PROCESS restarts already discards
-            # staged state; this extends the guarantee within-process.
-            cat.rollback_staged()
-            raise
+        # serialize against any other stream writing this catalog
+        # (e.g. stream_cdx_frontier): IcebergLike staging is
+        # transaction-global, so an unserialized concurrent commit
+        # would publish this epoch's half-staged tables early — and
+        # either stream's rollback would wipe the other's staged work
+        with cat.write_lock:
+            try:
+                stats.append(run_epoch(spark, cat, pages, robots, cfg))
+            except BaseException:
+                # a failed epoch must not leave its staged appends
+                # behind: IcebergLike._staged survives in-process, so a
+                # retry (or the next trigger) would commit the dead
+                # attempt's files alongside its own, duplicating
+                # extracted/lineage rows. Crash-replay across PROCESS
+                # restarts already discards staged state; this extends
+                # the guarantee within-process.
+                cat.rollback_staged()
+                raise
 
     query = (
         spark.readStream.format("rate")
@@ -114,6 +121,13 @@ def stream_cdx_frontier(
     Returns (StreamingQuery, stats) like :func:`crawl_stream`; a
     failed batch rolls back its staged writes before re-raising (same
     within-process guarantee as the crawl stream).
+
+    Concurrency: each batch holds ``cat.write_lock`` for its whole
+    stage→commit transaction, so running this stream BESIDE
+    ``crawl_stream`` on one catalog is safe — ingest batches and crawl
+    epochs serialize, each reading the other's last committed frontier/
+    seen state instead of racing half-staged writes (IcebergLike
+    staging is transaction-global; see the lock's docstring).
     """
     from hiispider_spark.operators import seen as seen_ops
     from hiispider_spark.operators.frontier import build_frontier
@@ -125,6 +139,14 @@ def stream_cdx_frontier(
     def one_batch(batch: DataFrame, batch_id: int) -> None:
         if max_batches is not None and len(stats) >= max_batches:
             return
+        # same single-writer discipline as crawl_stream's one_epoch:
+        # the whole stage→commit transaction holds the catalog lock, so
+        # an ingest batch and a crawl epoch over one catalog serialize
+        # instead of co-committing each other's half-staged tables
+        with cat.write_lock:
+            _locked_batch(batch, batch_id)
+
+    def _locked_batch(batch: DataFrame, batch_id: int) -> None:
         try:
             seeds = cdx_seeds(read_cdxj(batch))
             rows = build_frontier(

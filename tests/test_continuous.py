@@ -130,3 +130,51 @@ def test_max_epochs_caps_triggers(spark, tiny_pages, tiny_seeds, tiny_robots):
         assert cat.epoch == 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_catalog_write_lock_serializes_streams(spark, tmp_path):
+    """The single-writer lock is honored by the stream bodies: while
+    another writer holds cat.write_lock, a CDX ingest batch must NOT
+    stage or commit (IcebergLike staging is transaction-global — an
+    unserialized concurrent commit would publish a co-writer's
+    half-staged tables); once released, the batch lands."""
+    import os
+
+    from hiispider_spark.streaming.continuous import stream_cdx_frontier
+
+    cat = IcebergLike(spark, str(tmp_path / "cat"))
+    boot = spark.createDataFrame(
+        [("http://h.example.org/p/0", 1.0)], "url string, priority double"
+    )
+    bootstrap(spark, cat, boot, CFG)
+    snap0 = cat.manifest["snapshot_id"]
+
+    cdx_dir = str(tmp_path / "idx")
+    os.makedirs(cdx_dir)
+    with open(os.path.join(cdx_dir, "a.cdxj"), "w") as f:
+        f.write(
+            'org,h)/p/1 20240101000001 {"url": "http://h.example.org/p/1",'
+            ' "status": "200", "mime": "text/html", "filename": "x.warc.gz"}'
+        )
+
+    cat.write_lock.acquire()  # simulate a concurrent epoch mid-commit
+    try:
+        query, stats = stream_cdx_frontier(
+            spark, cat, cdx_dir, CFG, trigger_s=0.3, max_batches=1
+        )
+        try:
+            time.sleep(4.0)  # several triggers fire while the lock is held
+            assert stats == []  # batch blocked, nothing staged/committed
+            assert cat._staged == {}
+            assert cat.manifest["snapshot_id"] == snap0
+        finally:
+            cat.write_lock.release()
+        deadline = time.time() + 60
+        while len(stats) < 1 and time.time() < deadline:
+            time.sleep(0.3)
+        query.stop()
+        assert [s["n_inserted"] for s in stats] == [1]
+        assert cat.read("frontier").count() == 2
+    finally:
+        if query.isActive:
+            query.stop()
