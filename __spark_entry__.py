@@ -1166,6 +1166,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["autogen_delta"] = q_autogen_delta
 
+    # ---- CDX(J) capture-index source (round 5) --------------------------
+    # Closed-form wire-format index lines rendered per doc, parsed by the
+    # REAL readers (sources/cdx.py); the oracle emits the expected parsed
+    # rows directly — same pattern as sitemap_parse. Coverage: CDXJ parse
+    # (incl. a malformed-timestamp capture and junk lines), classic
+    # 11-field CDX parse (incl. header + '-' sentinels), latest-capture
+    # dedup across BOTH formats, and the recency-priority seed transform.
+    def _cdxj_lines(spark, sf):
+        # per doc: 1 + doc_id%3 captures; every 17th doc instead carries
+        # ONE capture whose timestamp field is garbage (must parse to
+        # NULL warc_ts, never kill the task); every 13th doc adds a junk
+        # non-capture line (must drop, not fail)
+        caps = _docs(spark, sf).select(
+            F.col("doc_id").alias("d"),
+            F.explode(
+                F.expr(
+                    "sequence(0, CASE WHEN doc_id % 17 = 2 THEN 0"
+                    " ELSE cast(doc_id % 3 as int) END)"
+                )
+            ).alias("k"),
+        )
+        json_fmt = (
+            '{"url": "http://c%03d.example.org/x/%d", "status": "%d",'
+            ' "mime": "%s", "digest": "sha1:%08X", "length": "%d",'
+            ' "offset": "%d", "filename": "crawl-%02d.warc.gz"%s}'
+        )
+        line = F.expr(
+            "concat("
+            "printf('org,example,c%03d)/x/%d', cast(d % 89 as int), d), ' ', "
+            "CASE WHEN d % 17 = 2 THEN 'BADTS' ELSE date_format("
+            "timestampadd(HOUR, cast((d*37 + k*4391) % 20000 as int), "
+            "timestamp'2023-06-01 00:00:00'), 'yyyyMMddHHmmss') END, ' ', "
+            f"printf('{json_fmt}', "
+            "cast(d % 89 as int), d, "
+            "CASE WHEN (d + k) % 7 = 3 THEN 404 ELSE 200 END, "
+            "CASE WHEN (d + k) % 11 = 5 THEN 'image/png' ELSE 'text/html' END, "
+            "d*1000 + k, 1000 + (d*3 + k) % 5000, (d*13 + k*7) % 100000, "
+            "cast(d % 20 as int), "
+            "CASE WHEN (d + k) % 5 = 4 THEN printf("
+            "', \"redirect\": \"http://c%03d.example.org/r/%d\"', "
+            "cast(d % 89 as int), d + 1) ELSE '' END)"
+            ")"
+        )
+        junk = (
+            _docs(spark, sf)
+            .filter("doc_id % 13 = 1")
+            .select(F.lit('!meta {"noise": 1}').alias("value"))
+        )
+        return caps.select(line.alias("value")).unionByName(junk)
+
+    def _classic_lines(spark, sf):
+        # one classic-format capture per every-3rd doc, strictly LATER
+        # than all its CDXJ captures (so latest-capture dedup crosses
+        # formats), plus the IA header line (must drop)
+        line = F.expr(
+            "concat_ws(' ', "
+            "printf('org,example,c%03d)/x/%d', cast(doc_id % 89 as int),"
+            " doc_id), "
+            "date_format(timestampadd(HOUR, cast(doc_id % 300 as int), "
+            "timestamp'2025-10-01 00:00:00'), 'yyyyMMddHHmmss'), "
+            "printf('http://c%03d.example.org/x/%d',"
+            " cast(doc_id % 89 as int), doc_id), "
+            "'text/html', '200', printf('sha1:C%07X', doc_id), '-', '-', "
+            "'1234', '77', "
+            "printf('classic-%02d.warc.gz', cast(doc_id % 9 as int)))"
+        )
+        header = spark.range(1).select(
+            F.lit(" CDX N b a m s k r M S V g").alias("value")
+        )
+        return (
+            _docs(spark, sf)
+            .filter("doc_id % 3 = 0")
+            .select(line.alias("value"))
+            .unionByName(header)
+        )
+
+    def q_cdxj_parse(spark, sf):
+        from hiispider_spark.sources import cdx as cdxmod
+
+        return cdxmod.read_cdxj(_cdxj_lines(spark, sf))
+
+    q["cdxj_parse"] = q_cdxj_parse
+
+    def q_cdx_classic_parse(spark, sf):
+        from hiispider_spark.sources import cdx as cdxmod
+
+        return cdxmod.read_cdx_classic(_classic_lines(spark, sf))
+
+    q["cdx_classic_parse"] = q_cdx_classic_parse
+
+    def q_cdx_seeds(spark, sf):
+        # both formats unioned → status/mime filter → latest capture per
+        # url → recency priority (NULL capture age seeds at 0.0)
+        from hiispider_spark.sources import cdx as cdxmod
+
+        caps = cdxmod.read_cdxj(_cdxj_lines(spark, sf)).unionByName(
+            cdxmod.read_cdx_classic(_classic_lines(spark, sf))
+        )
+        return cdxmod.cdx_seeds(caps)
+
+    q["cdx_seeds"] = q_cdx_seeds
+
     # ---- driver-window composition (round 4) ---------------------------
     # CORRECTNESS_r03 proved the driver evaluates at most the FIRST 50
     # registrations: 64 entries got exactly 50 rows back, silently
@@ -1328,7 +1430,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return a.unionByName(b)
 
+    def q_sitemap_suite(spark, sf):
+        # discovery-source suite (round 5): sitemap XML parse + CDXJ
+        # parse + classic CDX parse + index-driven seed priorities, as a
+        # tagged union with typed NULLs (the r4 folding pattern) — CDX
+        # gains a full value oracle without spending a window slot
+        a = q["sitemap_parse"](spark, sf).select(
+            F.lit("sitemap").alias("variant"),
+            "sitemap_url", "url", "lastmod", "changefreq", "priority",
+            "interval_hint_s",
+            _null("string").alias("urlkey"),
+            _null("timestamp").alias("warc_ts"),
+            _null("int").alias("http_status"),
+            _null("string").alias("mime"),
+            _null("string").alias("digest"),
+            _null("long").alias("warc_length"),
+            _null("long").alias("warc_offset"),
+            _null("string").alias("warc_file"),
+            _null("string").alias("redirect"),
+        )
+
+        def cdx_cols(df, tag):
+            return df.select(
+                F.lit(tag).alias("variant"),
+                _null("string").alias("sitemap_url"),
+                "url",
+                _null("timestamp").alias("lastmod"),
+                _null("string").alias("changefreq"),
+                _null("double").alias("priority"),
+                _null("double").alias("interval_hint_s"),
+                "urlkey", "warc_ts", "http_status", "mime", "digest",
+                "warc_length", "warc_offset", "warc_file", "redirect",
+            )
+
+        b = cdx_cols(q["cdxj_parse"](spark, sf), "cdxj")
+        c = cdx_cols(q["cdx_classic_parse"](spark, sf), "classic")
+        d = q["cdx_seeds"](spark, sf).select(
+            F.lit("seeds").alias("variant"),
+            _null("string").alias("sitemap_url"),
+            "url",
+            _null("timestamp").alias("lastmod"),
+            _null("string").alias("changefreq"),
+            "priority",
+            _null("double").alias("interval_hint_s"),
+            _null("string").alias("urlkey"),
+            _null("timestamp").alias("warc_ts"),
+            _null("int").alias("http_status"),
+            _null("string").alias("mime"),
+            _null("string").alias("digest"),
+            _null("long").alias("warc_length"),
+            _null("long").alias("warc_offset"),
+            _null("string").alias("warc_file"),
+            _null("string").alias("redirect"),
+        )
+        return a.unionByName(b).unionByName(c).unionByName(d)
+
     suites = {
+        "sitemap_parse": q_sitemap_suite,
         "dequeue_topk": q_dequeue_suite,
         "frontier_build": q_frontier_suite,
         "fetch_join": q_fetch_suite,
@@ -2643,6 +2801,111 @@ FROM ({o["canonicalize_dedup"]})
 UNION ALL
 SELECT 'idn' AS variant, url, CAST(NULL AS DOUBLE) AS priority
 FROM ({o.pop("idn_normalize")})"""
+
+    # discovery-source suite (round 5): sitemap + CDX(J). The Spark side
+    # renders closed-form wire lines and runs the REAL parsers; these
+    # blocks emit the expected parsed rows directly (the sitemap_parse
+    # pattern). Arithmetic mirrors queries()' line builders exactly.
+    _cdxj_caps_sql = """
+SELECT
+  printf('org,example,c%03d)/x/%d', CAST(d % 89 AS INT), d) AS urlkey,
+  CASE WHEN d % 17 = 2 THEN NULL
+       ELSE TIMESTAMP '2023-06-01 00:00:00'
+            + ((d*37 + k*4391) % 20000) * INTERVAL 1 HOUR END AS warc_ts,
+  printf('http://c%03d.example.org/x/%d', CAST(d % 89 AS INT), d) AS url,
+  CAST(CASE WHEN (d + k) % 7 = 3 THEN 404 ELSE 200 END AS INTEGER)
+    AS http_status,
+  CASE WHEN (d + k) % 11 = 5 THEN 'image/png' ELSE 'text/html' END AS mime,
+  printf('sha1:%08X', d*1000 + k) AS digest,
+  CAST(1000 + (d*3 + k) % 5000 AS BIGINT) AS warc_length,
+  CAST((d*13 + k*7) % 100000 AS BIGINT) AS warc_offset,
+  printf('crawl-%02d.warc.gz', CAST(d % 20 AS INT)) AS warc_file,
+  CASE WHEN (d + k) % 5 = 4 THEN printf('http://c%03d.example.org/r/%d',
+    CAST(d % 89 AS INT), d + 1) END AS redirect
+FROM (SELECT doc_id AS d FROM documents),
+     LATERAL unnest(range(0, CASE WHEN d % 17 = 2 THEN 1
+                                  ELSE 1 + d % 3 END)) t(k)"""
+
+    _cdx_classic_sql = """
+SELECT
+  printf('org,example,c%03d)/x/%d', CAST(doc_id % 89 AS INT), doc_id)
+    AS urlkey,
+  TIMESTAMP '2025-10-01 00:00:00' + (doc_id % 300) * INTERVAL 1 HOUR
+    AS warc_ts,
+  printf('http://c%03d.example.org/x/%d', CAST(doc_id % 89 AS INT), doc_id)
+    AS url,
+  CAST(200 AS INTEGER) AS http_status,
+  'text/html' AS mime,
+  printf('sha1:C%07X', doc_id) AS digest,
+  CAST(1234 AS BIGINT) AS warc_length,
+  CAST(77 AS BIGINT) AS warc_offset,
+  printf('classic-%02d.warc.gz', CAST(doc_id % 9 AS INT)) AS warc_file,
+  CAST(NULL AS VARCHAR) AS redirect
+FROM documents WHERE doc_id % 3 = 0"""
+
+    # seeds: both formats, status/mime filter BEFORE latest-capture
+    # dedup (ties impossible: per-doc CDXJ hours are distinct mod 20000
+    # and the classic capture is strictly later); priority mirrors
+    # cdx_seeds' exact operation order — round then clamp, NULL capture
+    # age (unparseable stamp as the url's only capture) seeds at 0.0
+    _cdx_seeds_sql = f"""
+WITH allc AS (
+  SELECT * FROM ({_cdxj_caps_sql})
+  UNION ALL
+  SELECT * FROM ({_cdx_classic_sql})
+),
+ok AS (
+  SELECT * FROM allc WHERE http_status = 200 AND mime = 'text/html'
+),
+rk AS (
+  SELECT url, warc_ts, row_number() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC NULLS LAST,
+    warc_file DESC NULLS LAST, warc_offset DESC NULLS LAST) AS rn
+  FROM ok
+)
+SELECT url,
+  CASE WHEN warc_ts IS NULL THEN 0.0
+       ELSE least(greatest(round(((epoch(warc_ts)
+              - epoch(TIMESTAMP '2020-01-01 00:00:00'))/86400.0)/3650.0,
+              6), 0.0), 1.0) END AS priority
+FROM rk WHERE rn = 1"""
+
+    _cdx_nulls = """CAST(NULL AS VARCHAR) AS sitemap_url, url,
+       CAST(NULL AS TIMESTAMP) AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CAST(NULL AS DOUBLE) AS priority,
+       CAST(NULL AS DOUBLE) AS interval_hint_s,
+       urlkey, warc_ts, http_status, mime, digest, warc_length,
+       warc_offset, warc_file, redirect"""
+
+    o["sitemap_parse"] = f"""
+SELECT 'sitemap' AS variant, sitemap_url, url, lastmod, changefreq,
+       priority, interval_hint_s,
+       CAST(NULL AS VARCHAR) AS urlkey, CAST(NULL AS TIMESTAMP) AS warc_ts,
+       CAST(NULL AS INTEGER) AS http_status, CAST(NULL AS VARCHAR) AS mime,
+       CAST(NULL AS VARCHAR) AS digest, CAST(NULL AS BIGINT) AS warc_length,
+       CAST(NULL AS BIGINT) AS warc_offset,
+       CAST(NULL AS VARCHAR) AS warc_file,
+       CAST(NULL AS VARCHAR) AS redirect
+FROM ({o["sitemap_parse"]})
+UNION ALL
+SELECT 'cdxj' AS variant, {_cdx_nulls}
+FROM ({_cdxj_caps_sql})
+UNION ALL
+SELECT 'classic' AS variant, {_cdx_nulls}
+FROM ({_cdx_classic_sql})
+UNION ALL
+SELECT 'seeds' AS variant, CAST(NULL AS VARCHAR) AS sitemap_url, url,
+       CAST(NULL AS TIMESTAMP) AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       priority, CAST(NULL AS DOUBLE) AS interval_hint_s,
+       CAST(NULL AS VARCHAR) AS urlkey, CAST(NULL AS TIMESTAMP) AS warc_ts,
+       CAST(NULL AS INTEGER) AS http_status, CAST(NULL AS VARCHAR) AS mime,
+       CAST(NULL AS VARCHAR) AS digest, CAST(NULL AS BIGINT) AS warc_length,
+       CAST(NULL AS BIGINT) AS warc_offset,
+       CAST(NULL AS VARCHAR) AS warc_file,
+       CAST(NULL AS VARCHAR) AS redirect
+FROM ({_cdx_seeds_sql})"""
 
     o["dedup_fingerprint_portable"] = f"""
 SELECT 'minhash' AS variant, doc_a, doc_b,
