@@ -24,8 +24,28 @@ bucket-collision pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import logging
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: per-(band_idx, band_hash) candidate cap for the LSH self-joins. The
+#: band join is quadratic WITHIN a bucket: band keys are uniform for
+#: distinct texts, but 10M near-identical boilerplate docs (ubiquitous
+#: at 100 TB — exact dedup removes only the byte-identical core) share
+#: every band value and would mint ~10^14 candidate pairs in one
+#: bucket. Ranking each bucket by doc_id and keeping the first CAP
+#: bounds candidates at O(bands · n · cap/2) while the rank<=k filter
+#: compiles to WindowGroupLimit (per-partition partial top-k BEFORE the
+#: shuffle — the hot bucket never materializes, let alone sorts). Docs
+#: beyond the cap in a bucket lose candidacy in that band only; the cap
+#: is far above any observed bucket on the synthetic corpus (max
+#: band-bucket size ≲ a few at sf0.1), so test/oracle output is
+#: unchanged. NOT silent: pass log_dropped=True for an eager warning,
+#: or monitor band_bucket_overflow() in a production pipeline.
+DEFAULT_BUCKET_CAP = 512
 
 #: strip the per-row uniqueness suffix the corpus synthesizer appends —
 #: collapsing pages back to their source document, which gives the
@@ -140,6 +160,104 @@ def minhash_signature_cols(shingles: Column, n_hashes: int = 32) -> list[Column]
     ]
 
 
+def _stack_bands(banded: DataFrame, bands: int, extra: list[str] | None = None
+                 ) -> DataFrame:
+    """(doc_id, band_0..band_{B-1}[, extra]) → one row per (doc, band):
+    (doc_id[, extra], band_idx, bh)."""
+    return banded.select(
+        "doc_id",
+        *(extra or []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bh")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", *(extra or []), F.col("e.band_idx"), F.col("e.bh"))
+
+
+def _cap_buckets(
+    stacked: DataFrame, bucket_cap: int, order_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the first ``bucket_cap`` rows (by ``order_col``, so the kept
+    set is deterministic) of every (band_idx, bh) bucket. rank<=k over a
+    window compiles to WindowGroupLimit: each input partition keeps at
+    most cap rows per key BEFORE the shuffle, so a pathological 10M-row
+    boilerplate bucket is bounded map-side."""
+    w = Window.partitionBy("band_idx", "bh").orderBy(order_col)
+    return (
+        stacked.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= bucket_cap)
+        .drop("_rk")
+    )
+
+
+def band_bucket_overflow(
+    stacked: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """Buckets whose membership exceeds ``bucket_cap`` — the
+    no-silent-caps observability hook: (band_idx, bh, n_docs,
+    n_dropped). A production dedup run logs/persists this beside the
+    pair output (one map-side-combinable agg over the stacked frame)."""
+    return (
+        stacked.groupBy("band_idx", "bh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > bucket_cap)
+        .select(
+            "band_idx",
+            "bh",
+            "n_docs",
+            (F.col("n_docs") - bucket_cap).alias("n_dropped"),
+        )
+    )
+
+
+def _log_overflow(stacked: DataFrame, bucket_cap: int, what: str) -> None:
+    """Eagerly count capped-away bucket membership and WARN (one extra
+    aggregation job — the guard's observability cost when requested)."""
+    rows = (
+        band_bucket_overflow(stacked, bucket_cap)
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_dropped").alias("n_dropped"),
+            F.max("n_docs").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    if rows["n_buckets"]:
+        logger.warning(
+            "%s: bucket_cap=%d dropped %d doc-band rows across %d hot "
+            "buckets (largest bucket: %d docs) — candidate recall is "
+            "reduced for those buckets' members",
+            what, bucket_cap, rows["n_dropped"], rows["n_buckets"],
+            rows["max_bucket"],
+        )
+
+
+def _banded_pairs(stacked: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Self-join the (doc_id, band_idx, bh) stack into candidate pairs
+    (doc_a < doc_b, n_bands_hit), capping each bucket first."""
+    if bucket_cap is not None:
+        stacked = _cap_buckets(stacked, bucket_cap)
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -147,12 +265,18 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs (doc_a < doc_b, n_bands_hit).
 
     rows/band = n_hashes // bands; two docs collide if any band's
     signature slice matches exactly. Candidates should flow into
     :func:`ngram_jaccard_pairs` (or signature similarity) to verify.
+
+    ``bucket_cap`` bounds the per-bucket self-join blowup on boilerplate
+    corpora (see :data:`DEFAULT_BUCKET_CAP`); ``log_dropped=True`` pays
+    one extra aggregation job to WARN what the cap discarded.
     """
     rows_per_band = n_hashes // bands
     base = docs.select(
@@ -173,33 +297,10 @@ def minhash_lsh_pairs(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bh")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.band_idx"), F.col("e.bh"))
-    a, b_ = stacked.alias("a"), stacked.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_bands_hit"))
-    )
+    stacked = _stack_bands(sig.select("doc_id", *band_cols), bands)
+    if log_dropped and bucket_cap is not None:
+        _log_overflow(stacked, bucket_cap, "minhash_lsh_pairs")
+    return _banded_pairs(stacked, bucket_cap)
 
 
 # ---- portable-hash MinHash (engine-portable → real value oracle) ----
@@ -260,10 +361,13 @@ def minhash_lsh_pairs_portable(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH with the portable hash family — identical
     output computable by the DuckDB oracle. Same (doc_a, doc_b,
-    n_bands_hit) contract as :func:`minhash_lsh_pairs`."""
+    n_bands_hit) contract and hot-bucket cap as
+    :func:`minhash_lsh_pairs`."""
     rows_per_band = n_hashes // bands
     coeffs = minhash_coeffs(n_hashes)
     base = docs.select(
@@ -289,33 +393,10 @@ def minhash_lsh_pairs_portable(
         for r in range(rows_per_band):
             acc = (acc * 31 + F.col(f"mh_{b * rows_per_band + r}")) % MINHASH_P
         band_cols.append(acc.alias(f"band_{b}"))
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("bh")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.band_idx"), F.col("e.bh"))
-    a, b_ = stacked.alias("a"), stacked.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_bands_hit"))
-    )
+    stacked = _stack_bands(sig.select("doc_id", *band_cols), bands)
+    if log_dropped and bucket_cap is not None:
+        _log_overflow(stacked, bucket_cap, "minhash_lsh_pairs_portable")
+    return _banded_pairs(stacked, bucket_cap)
 
 
 def simhash_col(tokens: Column) -> Column:

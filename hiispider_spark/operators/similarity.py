@@ -19,8 +19,17 @@ vec_id as the total tie-break, so results are stable across engines
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from hiispider_spark.operators.dedup import (
+    DEFAULT_BUCKET_CAP,
+    band_bucket_overflow,
+)
+
+logger = logging.getLogger(__name__)
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -164,6 +173,8 @@ def hyperplane_near_dup_pairs(
     n_planes: int = 64,
     bands: int = 8,
     dim: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via random-hyperplane LSH blocking + exact
     cosine verify — the shape that survives 10^9 vectors, where the
@@ -180,6 +191,16 @@ def hyperplane_near_dup_pairs(
     near-dup detector. Mid-threshold regimes (e.g. 0.3 on this synthetic
     corpus) have no sub-quadratic exact path — use the all-pairs verify
     or IVF bucketing and accept its recall instead.
+
+    ``bucket_cap`` bounds the per-(band_idx, band_value) self-join
+    against boilerplate blowup (10M near-identical embeddings share
+    every band value → ~10^14 candidates in one bucket); rank-by-vec_id
+    keep-k compiles to WindowGroupLimit, so hot buckets bound map-side
+    (see dedup.DEFAULT_BUCKET_CAP; log_dropped=True WARNs what was
+    capped). Caveat: band values carry only n_planes//bands bits (256
+    values at the defaults), so at ≥10^7 vectors the cap binds on
+    ORDINARY buckets too — scale n_planes/bands up so buckets stay
+    selective; the cap is a safety valve, not the scaling mechanism.
     """
     if dim is None:
         first = embeddings.select(F.size("embedding")).first()
@@ -214,19 +235,43 @@ def hyperplane_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.col(f"band_{b}").alias("bv"),
+                        F.col(f"band_{b}").alias("bh"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("e"),
-    ).select("vec_id", "v", F.col("e.band_idx"), F.col("e.bv"))
+    ).select("vec_id", "v", F.col("e.band_idx"), F.col("e.bh"))
+    if bucket_cap is not None:
+        if log_dropped:
+            ov = (
+                band_bucket_overflow(
+                    stacked.select("band_idx", "bh"), bucket_cap
+                )
+                .agg(
+                    F.count("*").alias("n_buckets"),
+                    F.sum("n_dropped").alias("n_dropped"),
+                )
+                .collect()[0]
+            )
+            if ov["n_buckets"]:
+                logger.warning(
+                    "hyperplane_near_dup_pairs: bucket_cap=%d dropped %d "
+                    "vec-band rows across %d hot buckets",
+                    bucket_cap, ov["n_dropped"], ov["n_buckets"],
+                )
+        w_cap = Window.partitionBy("band_idx", "bh").orderBy("vec_id")
+        stacked = (
+            stacked.withColumn("_rk", F.row_number().over(w_cap))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+        )
     a, b_ = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
             b_,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

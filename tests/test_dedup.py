@@ -136,3 +136,110 @@ def test_minhash_portable_matches_python_reference(spark):
             expected[(a, b)] = hits
     assert got == dict(expected)
     assert got[(0, 4)] == 2  # identical texts collide in every band
+
+
+# ---- hot-bucket cap (boilerplate blowup guard) -------------------------
+
+def _boilerplate(spark, n, family="all work and no play makes a dull crawl "):
+    # ' #%d' is the corpus uniqueness suffix — normalized away, so all n
+    # docs share every shingle, every signature, every band bucket
+    return _docs(spark, [(i, f"{family * 3}#{i}") for i in range(n)])
+
+
+def test_bucket_cap_bounds_boilerplate_candidates(spark):
+    """A planted boilerplate family lands in ONE bucket per band;
+    uncapped the self-join mints O(n²) pairs, capped it is O(cap²) —
+    with the kept set deterministic (lowest doc_ids)."""
+    docs = _boilerplate(spark, 1000)
+    capped = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=8, bucket_cap=16
+    ).collect()
+    # 16 kept docs → C(16,2) pairs, every pair hitting all 8 bands
+    assert len(capped) == 16 * 15 // 2
+    assert all(r.n_bands_hit == 8 for r in capped)
+    ids = {r.doc_a for r in capped} | {r.doc_b for r in capped}
+    assert ids == set(range(16))  # deterministic keep: lowest doc_ids
+    # O(cap·n·bands) candidate bound, vs ~500k uncapped
+    assert len(capped) <= 16 * 1000 * 8
+
+
+def test_bucket_cap_overflow_is_observable(spark):
+    """No silent caps: band_bucket_overflow reports exactly what the
+    cap discards (8 bands × one hot bucket × (n - cap) docs)."""
+    docs = _boilerplate(spark, 300)
+    sig = docs.select(
+        F.col("doc_id"),
+        dd.shingles_col(dd.normalized_text(F.col("text")), 5).alias("sh"),
+    ).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh_{i}")
+            for i in range(32)
+        ],
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * 4 + r}") for r in range(4)]).alias(
+            f"band_{b}"
+        )
+        for b in range(8)
+    ]
+    stacked = dd._stack_bands(sig.select("doc_id", *band_cols), 8)
+    ov = dd.band_bucket_overflow(stacked, bucket_cap=50).collect()
+    assert len(ov) == 8  # one hot bucket per band
+    assert all(r.n_docs == 300 and r.n_dropped == 250 for r in ov)
+
+
+def test_bucket_cap_noop_below_cap_and_logs_above(spark, caplog):
+    """Cap never binding → byte-identical output to uncapped (the
+    oracle-safety property); log_dropped WARNs when it does bind."""
+    import logging as _logging
+
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta " * 4), (2, "alpha beta gamma delta " * 4),
+         (3, "omega psi chi phi " * 4)],
+    )
+    base = sorted(
+        (r.doc_a, r.doc_b, r.n_bands_hit)
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", bucket_cap=None
+        ).collect()
+    )
+    capped = sorted(
+        (r.doc_a, r.doc_b, r.n_bands_hit)
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    )
+    assert base == capped
+    boiler = _boilerplate(spark, 60)
+    with caplog.at_level(_logging.WARNING, logger="hiispider_spark.operators.dedup"):
+        dd.minhash_lsh_pairs(
+            boiler, "doc_id", "text", bucket_cap=8, log_dropped=True
+        ).count()
+    assert any("bucket_cap=8 dropped" in m for m in caplog.messages)
+
+
+def test_bucket_cap_plan_uses_window_group_limit(spark):
+    """The rank<=cap filter must compile to WindowGroupLimit — a hot
+    bucket bounds map-side BEFORE the shuffle, never fully sorts."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = _boilerplate(spark, 50)
+    df = dd.minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_portable_bucket_cap_matches_fast_path_semantics(spark):
+    """The portable-hash variant caps identically (same planted family,
+    same C(cap,2) bound, all bands hit)."""
+    docs = _boilerplate(spark, 200)
+    rows = dd.minhash_lsh_pairs_portable(
+        docs, "doc_id", "text", n_hashes=16, bands=4, bucket_cap=8
+    ).collect()
+    assert len(rows) == 8 * 7 // 2
+    assert all(r.n_bands_hit == 4 for r in rows)

@@ -214,3 +214,24 @@ def test_hyperplane_lsh_candidates_subquadratic(spark):
     # threshold=-1 emits every candidate pair the banding produced
     n_cand = sim.hyperplane_near_dup_pairs(corpus, threshold=-1.0).count()
     assert n_cand < 0.10 * n * (n - 1) / 2
+
+
+def test_hyperplane_bucket_cap_bounds_identical_family(spark):
+    """200 identical embeddings share every band value; the cap keeps
+    the 8 lowest vec_ids per bucket → C(8,2) verified pairs (cos 1.0),
+    instead of ~20k uncapped candidates. Below the cap, capped output
+    is byte-identical to uncapped (oracle safety)."""
+    fam = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    vecs = _vecs(spark, fam)
+    capped = sim.hyperplane_near_dup_pairs(
+        vecs, threshold=0.9, bucket_cap=8
+    ).collect()
+    assert len(capped) == 8 * 7 // 2
+    assert all(r.cos_sim == 1.0 for r in capped)
+    ids = {r.vec_a for r in capped} | {r.vec_b for r in capped}
+    assert ids == set(range(8))
+    # no-overflow corpus: capped == uncapped
+    small = _vecs(spark, [(i, [1.0 * (i + 1), 2.0, 0.5 * i, 1.0]) for i in range(6)])
+    a = sorted(map(tuple, sim.hyperplane_near_dup_pairs(small, 0.5, bucket_cap=None).collect()))
+    b = sorted(map(tuple, sim.hyperplane_near_dup_pairs(small, 0.5).collect()))
+    assert a == b
