@@ -146,6 +146,33 @@ class EpochConfig:
     recrawl_min_s: float = 60.0
     recrawl_max_s: float = 604800.0
 
+    @classmethod
+    def production(cls, **overrides) -> "EpochConfig":
+        """Every scale guard ON — the configuration a 10^10-URL
+        deployment runs. The field defaults above keep each guard OFF
+        individually so golden fixtures pin the unguarded orderings;
+        this preset is the other end of that dial, and
+        test_epoch::test_production_profile drives them TOGETHER
+        (interaction bugs — e.g. trap_guard × scope_guard × the
+        assume_new insertion path — hide between individually-green
+        features). ``overrides`` adjust for corpus size (a sandbox test
+        lowers trap_min_urls and max_inflight; a real deployment sizes
+        them to its hardware)."""
+        base: dict = dict(
+            aging_weight=0.05,          # dequeue starvation guard
+            adaptive_recrawl=True,       # Cho & G-M revisit intervals
+            trap_guard=True,             # calendar-widget URL mints
+            scope_guard=True,            # drop out-of-scope links early
+            host_max_parallel=4,         # per-host concurrency ceiling
+            max_inflight=1 << 20,        # global in-flight cap
+            politeness_impl="column",    # JVM twin (fetch is a join)
+            boot_stagger_s=300,          # spread the first-fetch wave
+            state_deltas=True,           # merge-on-read state commits
+            collect_stats=True,
+        )
+        base.update(overrides)
+        return cls(**base)
+
 
 #: target rows per delta data file. Delta dirs are read back UNIONED
 #: every epoch until compaction, so their file count is pure read

