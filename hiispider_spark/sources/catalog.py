@@ -50,6 +50,22 @@ MERGE_KEYS = {
     "politeness": "host",
 }
 
+#: Time layout: sort rows by these columns WITHIN each bucket file at
+#: every partition-level write (bootstrap, overwrite commits, and —
+#: the one that matters at scale — compaction). The frontier's hottest
+#: read is the dequeue's ``next_fetch_ts <= epoch_ts`` scan: with rows
+#: time-sorted, parquet row-group min/max stats make most of a
+#: 10^10-row frontier's not-yet-due tail skippable at the footer
+#: (pushed filters prune row groups whose min exceeds the epoch ts);
+#: unsorted buckets interleave due and future rows so every group
+#: straddles the predicate and nothing prunes. Measured:
+#: tools/frontier_layout_probe.py + BENCH/BASELINE.md. Sorting is a
+#: per-task in-memory sort of one bucket slice — no extra shuffle
+#: (sortWithinPartitions after the existing repartition).
+SORT_COLS = {
+    "frontier": ["next_fetch_ts"],
+}
+
 
 def _dir_row_count(absdir: str) -> int:
     """Total rows under a version directory from parquet footers —
@@ -315,7 +331,7 @@ class IcebergLike:
         next_version = prev.get("next_version", 1)
         if touched:
             rel, absdir = self._new_version_dir(name)
-            (
+            out = (
                 df.filter(F.col(part_col).isin(touched))
                 # co-locate each bucket into one task before partitionBy:
                 # without this every input partition writes a file into
@@ -326,7 +342,19 @@ class IcebergLike:
                 # ~P× smaller file inventory.
                 .repartition(len(touched), F.col(part_col))
                 .withColumn("_pid", F.col(part_col))
-                .write.mode("overwrite")
+            )
+            sort_cols = SORT_COLS.get(name)
+            if sort_cols:
+                # time layout (see SORT_COLS): per-task sort of the
+                # bucket slice — row groups become min/max-prunable on
+                # the dequeue predicate, no extra shuffle. Must sort on
+                # _pid itself (not its part_col twin): the partitionBy
+                # writer requires ordering by partition columns and
+                # would otherwise insert its own UNSTABLE sort on _pid,
+                # destroying the time order this exists to create.
+                out = out.sortWithinPartitions("_pid", *sort_cols)
+            (
+                out.write.mode("overwrite")
                 .partitionBy("_pid")
                 .parquet(absdir)
             )

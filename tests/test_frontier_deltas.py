@@ -321,3 +321,43 @@ def test_empty_delta_roundtrip(spark, tiny_seeds):
         assert cat.read("frontier").count() == n0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_frontier_buckets_time_sorted_with_stats(
+    spark, two_cats, tiny_pages, tiny_robots
+):
+    """Time layout (catalog.SORT_COLS): every frontier bucket file —
+    bootstrap AND compaction output — is sorted by next_fetch_ts with
+    real parquet min/max statistics (TIMESTAMP_MICROS, not stat-less
+    INT96), so the dequeue's pushed predicate can prune row groups
+    whose min exceeds the epoch ts. Golden orderings are unaffected
+    (dequeue re-sorts in its window); this pins the STORAGE layout."""
+    import pyarrow.parquet as pq
+
+    _, mor = two_cats
+    run_epoch(spark, mor, tiny_pages, tiny_robots, DELTA_CFG)
+    mor.compact("frontier")
+    mor.commit(epoch=mor.epoch)
+    entry = _manifest_entry(mor)
+    assert not entry.get("deltas")  # compaction folded
+    checked = 0
+    for rel in entry["parts"].values():
+        absdir = os.path.join(mor.root, rel)
+        for fn in os.listdir(absdir):
+            if not fn.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(absdir, fn))
+            md = pf.metadata
+            idx = [
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema
+                == "next_fetch_ts"
+            ][0]
+            st = md.row_group(0).column(idx).statistics
+            assert st is not None and st.min is not None  # prunable stats
+            ts = pf.read(columns=["next_fetch_ts"]).to_pandas()[
+                "next_fetch_ts"
+            ]
+            assert bool(ts.is_monotonic_increasing)
+            checked += 1
+    assert checked > 0
