@@ -195,3 +195,22 @@ def test_cdxj_scan_is_python_free_with_pruning(spark, tmp_path):
     assert "EvalPython" not in p  # no Python anywhere in the parse
     rows = caps.collect()
     assert rows == [("http://h.example.org/p", 200)]
+
+
+def test_dequeue_scan_pushes_timestamp_predicate(spark, tiny_seeds, tmp_path):
+    """The dequeue predicate must reach the frontier's parquet scan
+    THROUGH the catalog read (incl. the delta-resolve union/anti-join):
+    with the time-sorted layout + TIMESTAMP_MICROS stats (catalog.
+    SORT_COLS), a pushed next_fetch_ts filter is what turns a
+    10^10-row frontier scan into a due-slice scan."""
+    from hiispider_spark.plans.epoch import EpochConfig, bootstrap
+    from hiispider_spark.sources.catalog import IcebergLike
+
+    cfg = EpochConfig(k_per_partition=8, n_partitions=8, bloom_m_bits=1 << 17)
+    cat = IcebergLike(spark, str(tmp_path / "cat"))
+    bootstrap(spark, cat, tiny_seeds, cfg)
+    p = plan_of(
+        dequeue_topk(cat.read("frontier"), "2024-01-01 00:01:00", 5)
+    )
+    assert "PushedFilters" in p
+    assert "LessThanOrEqual(next_fetch_ts" in p
