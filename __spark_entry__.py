@@ -1317,13 +1317,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.unionByName(b)
 
     def q_politeness_suite(spark, sf):
-        a = q["politeness_budget"](spark, sf).select(
-            F.lit("rate").alias("variant"), "host", "n_granted", "n_deferred"
+        # Fused: ONE frontier→dequeue→robots→window pass yields both
+        # variants. Per host the rate grant count is min(budget, n_rows)
+        # (granted ⟺ rn ≤ budget over rn = 1..n), so the cap5 count is
+        # min(min(budget, 5), n_rows) = least(n_granted, 5) — identical
+        # rows to running apply_token_buckets_col twice (the pre-fusion
+        # form), at half the pipeline cost. Oracle unchanged.
+        base = (
+            q["politeness_budget"](spark, sf)
+            .withColumn("n_rows", F.col("n_granted") + F.col("n_deferred"))
+            .withColumn(
+                "g5", F.least(F.col("n_granted"), F.lit(5).cast("long"))
+            )
         )
-        b = q["politeness_host_cap"](spark, sf).select(
-            F.lit("cap5").alias("variant"), "host", "n_granted", "n_deferred"
-        )
-        return a.unionByName(b)
+        return base.select(
+            "host",
+            F.expr(
+                "stack(2, 'rate', n_granted, n_deferred,"
+                " 'cap5', g5, n_rows - g5)"
+                " as (variant, n_granted, n_deferred)"
+            ),
+        ).select("variant", "host", "n_granted", "n_deferred")
 
     def q_host_stats_suite(spark, sf):
         return q["host_stats"](spark, sf).join(

