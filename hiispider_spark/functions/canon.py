@@ -27,6 +27,7 @@ Three implementations, all semantically identical (tests enforce it):
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import urlsplit, urlunsplit
 
 import pandas as pd
@@ -35,6 +36,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
+
+# Plan-build memoization: these builders are called once per epoch with
+# the same input column NAME, and each build costs hundreds of py4j
+# round-trips of pure driver wall (canonical_url_col alone measured
+# ~320 ms) — a per-epoch fixed constant that does not shrink with
+# cores, i.e. exactly the scaling-efficiency residual. Column objects
+# are immutable unresolved expression trees (they resolve by name per
+# plan, never bind to a DataFrame or session), so one cached instance
+# is safe to reuse across queries, epochs, sessions, and driver
+# threads (lru_cache is thread-safe; the underlying JVM gateway lives
+# for the Python process). Pass a plain string column name to hit the
+# cache; Column inputs build fresh as before.
 
 
 def canonicalize_url(url: str) -> str:
@@ -90,7 +103,7 @@ def _sorted_query_col(query: Column) -> Column:
     )
 
 
-def canonical_url_col(url: Column) -> Column:
+def canonical_url_col(url: Column | str) -> Column:
     """Column-expression canonicalization (JVM-side, codegen'd).
 
     Covers the full spec: fragment strip, scheme+host lowercase,
@@ -100,7 +113,21 @@ def canonical_url_col(url: Column) -> Column:
     test_canon cross-checks all three impls, including query URLs.
     (The DuckDB oracle twin omits query sorting — the synthetic corpus
     carries no query strings, so the twin stays byte-equivalent there.)
+
+    A string argument returns a memoized tree (see module notes) —
+    the per-epoch hot path passes names.
     """
+    if isinstance(url, str):
+        return _canonical_url_named(url)
+    return _canonical_url_build(url)
+
+
+@lru_cache(maxsize=128)
+def _canonical_url_named(name: str) -> Column:
+    return _canonical_url_build(F.col(name))
+
+
+def _canonical_url_build(url: Column) -> Column:
     u = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
@@ -121,20 +148,39 @@ def canonical_url_col(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), hostport, path, tail)
 
 
-def host_col(url: Column) -> Column:
+def host_col(url: Column | str) -> Column:
     """Host of a URL — JVM-side ``try_parse_url`` (O-16), lowercased.
 
     The ``try_`` variant is load-bearing: crawled pages carry garbage
     hrefs (``mailto:``, ``javascript:``, bare fragments) and Spark 4's
     ``parse_url`` RAISES on them under ANSI — one malformed link must
     cost NULL, not the epoch (found by test_scope's unguarded-epoch
-    drive)."""
+    drive). String argument → memoized tree (module notes)."""
+    if isinstance(url, str):
+        return _host_named(url)
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
-def path_col(url: Column) -> Column:
+@lru_cache(maxsize=128)
+def _host_named(name: str) -> Column:
+    return F.lower(F.try_parse_url(F.col(name), F.lit("HOST")))
+
+
+def path_col(url: Column | str) -> Column:
     """Path of a URL (for robots prefix matching), '' → '/'.
-    ``try_parse_url``: total over malformed inputs (see host_col)."""
+    ``try_parse_url``: total over malformed inputs (see host_col).
+    String argument → memoized tree (module notes)."""
+    if isinstance(url, str):
+        return _path_named(url)
+    return _path_build(url)
+
+
+@lru_cache(maxsize=128)
+def _path_named(name: str) -> Column:
+    return _path_build(F.col(name))
+
+
+def _path_build(url: Column) -> Column:
     p = F.try_parse_url(url, F.lit("PATH"))
     return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
 

@@ -29,6 +29,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,14 +43,36 @@ DEFAULT_SALTS = 8
 DEFAULT_INTERVAL_S = 3600
 BACKOFF_BASE_S = 60
 
+# Per-epoch plan-build constants are memoized by column NAME — see
+# functions/canon.py module notes for why cached Column trees are safe
+# to reuse across queries/epochs/threads. String args hit the cache.
 
-def part_id_col(host: Column, salt: Column, n_partitions: int) -> Column:
+
+def part_id_col(
+    host: Column | str, salt: Column | str, n_partitions: int
+) -> Column:
     """Salted host-hash bucket (BASELINE.json:6)."""
+    if isinstance(host, str) and isinstance(salt, str):
+        return _part_id_named(host, salt, n_partitions)
     return F.pmod(F.xxhash64(host, salt), F.lit(n_partitions)).cast("int")
 
 
-def salt_col(url: Column, n_salts: int) -> Column:
+@lru_cache(maxsize=128)
+def _part_id_named(host: str, salt: str, n_partitions: int) -> Column:
+    return F.pmod(
+        F.xxhash64(F.col(host), F.col(salt)), F.lit(n_partitions)
+    ).cast("int")
+
+
+def salt_col(url: Column | str, n_salts: int) -> Column:
+    if isinstance(url, str):
+        return _salt_named(url, n_salts)
     return F.pmod(F.xxhash64(url), F.lit(n_salts)).cast("int")
+
+
+@lru_cache(maxsize=128)
+def _salt_named(name: str, n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(F.col(name)), F.lit(n_salts)).cast("int")
 
 
 def build_frontier(
@@ -134,31 +158,64 @@ def dequeue_topk(
         (F.col("state") == "pending")
         & (F.col("next_fetch_ts") <= F.lit(epoch_ts).cast("timestamp"))
     )
+    return (
+        due.withColumn(
+            "rn",
+            # aging=0 ignores the epoch ts — key it out so every epoch
+            # shares one cached tree
+            _rank_col(float(aging_weight), epoch_ts if aging_weight else ""),
+        )
+        .filter(F.col("rn") <= k_per_partition)
+        .drop("rn")
+    )
+
+
+@lru_cache(maxsize=64)
+def _rank_col(aging_weight: float, epoch_ts: str) -> Column:
+    """row_number over the dequeue window — memoized plan-build
+    (~120 ms/build, once per epoch). aging_weight=0 (the golden-fixture
+    default) ignores epoch_ts, so every epoch shares ONE cached tree;
+    the aging tree keys on the epoch too (rebuilt per epoch, still
+    cached within it for the flagship + bench re-plans)."""
     eff = F.col("priority")
     if aging_weight:
         overdue_s = (
             F.lit(epoch_ts).cast("timestamp").cast("double")
             - F.col("next_fetch_ts").cast("double")
         )
-        eff = eff + F.lit(float(aging_weight)) * overdue_s / F.lit(86400.0)
+        eff = eff + F.lit(aging_weight) * overdue_s / F.lit(86400.0)
     w = Window.partitionBy("part_id").orderBy(
         eff.desc(), F.col("next_fetch_ts").asc(), F.col("url_hash").asc()
     )
-    return (
-        due.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k_per_partition)
-        .drop("rn")
-    )
+    return F.row_number().over(w)
+
+
+@lru_cache(maxsize=1)
+def _interval_offset() -> Column:
+    return F.make_interval(secs=F.col("interval_s").cast("double"))
 
 
 def requeue_fetched(slice_df: DataFrame, epoch_ts: str) -> DataFrame:
     """Successful fetches go back on the schedule at +interval (O-15),
     mirroring the reference's heap re-push [hs: scheduler.py †]."""
-    return slice_df.withColumn(
-        "next_fetch_ts",
-        F.lit(epoch_ts).cast("timestamp")
-        + F.make_interval(secs=F.col("interval_s").cast("double")),
-    ).withColumn("retry_count", F.lit(0))
+    return slice_df.withColumns(
+        {
+            "next_fetch_ts": (
+                F.lit(epoch_ts).cast("timestamp") + _interval_offset()
+            ),
+            "retry_count": F.lit(0),
+        }
+    )
+
+
+@lru_cache(maxsize=1)
+def _backoff_cols() -> tuple[Column, Column, Column]:
+    retry = F.col("retry_count") + 1
+    offset = F.make_interval(
+        secs=(F.lit(BACKOFF_BASE_S) * F.pow(F.lit(2.0), retry)).cast("double")
+    )
+    state = F.when(retry >= 5, F.lit("failed")).otherwise(F.col("state"))
+    return offset, retry.cast("int"), state
 
 
 def requeue_failed(slice_df: DataFrame, epoch_ts: str) -> DataFrame:
@@ -168,19 +225,13 @@ def requeue_failed(slice_df: DataFrame, epoch_ts: str) -> DataFrame:
     retries later [hs: hiispider/pagegetter.py †]; we push
     ``next_fetch_ts`` out by BACKOFF_BASE * 2^retry and retire after 5.
     """
-    retry = F.col("retry_count") + 1
-    return (
-        slice_df.withColumn(
-            "next_fetch_ts",
-            F.lit(epoch_ts).cast("timestamp")
-            + F.make_interval(
-                secs=(F.lit(BACKOFF_BASE_S) * F.pow(F.lit(2.0), retry)).cast("double")
-            ),
-        )
-        .withColumn("retry_count", retry.cast("int"))
-        .withColumn(
-            "state", F.when(retry >= 5, F.lit("failed")).otherwise(F.col("state"))
-        )
+    offset, retry, state = _backoff_cols()
+    return slice_df.withColumns(
+        {
+            "next_fetch_ts": F.lit(epoch_ts).cast("timestamp") + offset,
+            "retry_count": retry,
+            "state": state,
+        }
     )
 
 
@@ -231,24 +282,25 @@ def new_frontier_entries(
             frontier.select("url_hash"), "url_hash", "left_anti"
         )
     if "host" not in keep:
-        candidates = candidates.withColumn("host", host_col(url))
+        candidates = candidates.withColumn("host", host_col("url"))
     if "salt" not in keep:
-        candidates = candidates.withColumn("salt", salt_col(url, n_salts))
+        candidates = candidates.withColumn("salt", salt_col("url", n_salts))
     if "part_id" not in keep:
         candidates = candidates.withColumn(
-            "part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions)
+            "part_id", part_id_col("host", "salt", n_partitions)
         )
-    candidates = (
-        candidates
-        .withColumn("priority", F.lit(discovered_priority))
-        .withColumn("next_fetch_ts", F.lit(epoch_ts).cast("timestamp"))
-        .withColumn("interval_s", F.lit(interval_s))
-        .withColumn("retry_count", F.lit(0))
-        .withColumn("state", F.lit("pending"))
-        .withColumn("plugin", F.lit(discovered_plugin))
-        .select(*frontier.columns)
-    )
-    return candidates
+    # one withColumns call (not six withColumn round-trips — each is a
+    # py4j DataFrame build; this path runs every epoch)
+    return candidates.withColumns(
+        {
+            "priority": F.lit(discovered_priority),
+            "next_fetch_ts": F.lit(epoch_ts).cast("timestamp"),
+            "interval_s": F.lit(interval_s),
+            "retry_count": F.lit(0),
+            "state": F.lit("pending"),
+            "plugin": F.lit(discovered_plugin),
+        }
+    ).select(*frontier.columns)
 
 
 def merge_new_urls(

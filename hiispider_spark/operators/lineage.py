@@ -24,38 +24,43 @@ def build_lineage(
 ) -> DataFrame:
     """One row per part_id: dequeue/fetch/extract/error counts + bytes.
 
-    Each input aggregates independently (partial aggregation map-side),
-    then the tiny per-partition summaries full-outer-join — never a
-    shuffle of row-level data. ``fetched`` carries a precomputed
-    ``html_len`` column (the epoch's narrow fetch-metadata cache) so
-    this aggregation never touches the html-bearing wide rows.
+    ONE tagged union + ONE hash aggregation (map-side combinable): the
+    four inputs project to (part_id, kind, bytes) slivers — all read
+    from the epoch's persisted slim frames, never the html-bearing wide
+    rows (``fetched`` carries a precomputed ``html_len``) — and a
+    single groupBy counts each kind conditionally. The previous shape
+    (4 independent aggs + 3 full-outer joins) carried ~4× the stage
+    count and plan-build for identical output: a part_id present in
+    any input appears either way, and missing kinds count 0.
     """
+    _null_b = F.lit(None).cast("long")
 
-    def per_part(df: DataFrame, col: str, extra=None) -> DataFrame:
-        aggs = [F.count("*").alias(col)]
-        if extra is not None:
-            aggs.append(extra)
-        return df.groupBy("part_id").agg(*aggs)
+    def tag(df: DataFrame, kind: str, bytes_col=None) -> DataFrame:
+        return df.select(
+            "part_id",
+            F.lit(kind).alias("_k"),
+            (bytes_col if bytes_col is not None else _null_b).alias("_b"),
+        )
 
-    d = per_part(dequeued, "n_dequeued")
-    f = per_part(fetched, "n_fetched", F.sum("html_len").alias("bytes"))
-    e = per_part(extracted_with_part, "n_extracted")
-    x = per_part(failed, "n_errors")
-
-    out = (
-        d.join(f, "part_id", "full_outer")
-        .join(e, "part_id", "full_outer")
-        .join(x, "part_id", "full_outer")
+    u = (
+        tag(dequeued, "d")
+        .unionByName(tag(fetched, "f", F.col("html_len").cast("long")))
+        .unionByName(tag(extracted_with_part, "e"))
+        .unionByName(tag(failed, "x"))
     )
-    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
-    return out.select(
+    cnt = lambda k: F.count_if(F.col("_k") == k).cast("long")  # noqa: E731
+    return u.groupBy("part_id").agg(
         F.lit(epoch).cast("long").alias("epoch"),
-        F.col("part_id").alias("partition_id"),
-        zero("n_dequeued").alias("n_dequeued"),
-        zero("n_fetched").alias("n_fetched"),
-        zero("n_extracted").alias("n_extracted"),
-        zero("n_errors").alias("n_errors"),
-        zero("bytes").alias("bytes"),
+        cnt("d").alias("n_dequeued"),
+        cnt("f").alias("n_fetched"),
+        cnt("e").alias("n_extracted"),
+        cnt("x").alias("n_errors"),
+        F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("bytes"),
         F.lit(epoch_ts).cast("timestamp").alias("t_start"),
         F.lit(epoch_ts).cast("timestamp").alias("t_end"),
+    ).select(
+        "epoch",
+        F.col("part_id").alias("partition_id"),
+        "n_dequeued", "n_fetched", "n_extracted", "n_errors",
+        "bytes", "t_start", "t_end",
     )

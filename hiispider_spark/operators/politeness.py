@@ -31,9 +31,11 @@ bucketing upstream is what makes this group-by safe at 10^10 scale.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -93,6 +95,18 @@ def robots_deny_col(rules_col, path_col_):
     return F.when(F.size(matching) > 0, best["a"] == 0).otherwise(F.lit(False))
 
 
+@lru_cache(maxsize=1)
+def _deny_expr() -> Column:
+    """Memoized robots-deny tree (fixed column names ``rules``/``url``):
+    the wildcard-REP expression costs ~0.3 s of py4j plan-build and is
+    identical every epoch — see functions/canon.py module notes on
+    cached Column reuse."""
+    return F.when(
+        F.col("rules").isNotNull(),
+        robots_deny_col(F.col("rules"), path_col("url")),
+    ).otherwise(F.lit(False))
+
+
 def split_robots(slice_df: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(allowed_with_crawl_delay, robots_denied).
 
@@ -103,13 +117,13 @@ def split_robots(slice_df: DataFrame, robots: DataFrame) -> tuple[DataFrame, Dat
     Hosts without robots rows are allowed with the default crawl delay.
     """
     joined = slice_df.join(robots, "host", "left")
-    deny = F.when(
-        F.col("rules").isNotNull(),
-        robots_deny_col(F.col("rules"), path_col(F.col("url"))),
-    ).otherwise(F.lit(False))
-    joined = joined.withColumn("_deny", deny).withColumn(
-        "crawl_delay",
-        F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY)),
+    joined = joined.withColumns(
+        {
+            "_deny": _deny_expr(),
+            "crawl_delay": F.coalesce(
+                F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY)
+            ),
+        }
     )
     allowed = joined.filter(~F.col("_deny")).drop("_deny", "rules")
     denied = (

@@ -32,6 +32,7 @@ filters co-partitioned with the frontier bucket.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -217,6 +218,20 @@ def bloom_might_contain_col(
     memory traffic, not compute); this expression does the same probes
     in 2-3 s flat and scales with the scan that contains it.
     """
+    if isinstance(h, str) and isinstance(bloom, str):
+        # memoized plan-build: ~0.7 s of py4j round-trips per build,
+        # once per epoch on the hot path (cached Column trees are
+        # reusable across plans — functions/canon.py module notes)
+        return _bloom_probe_named(h, bloom, m_bits, k)
+    return _bloom_probe_build(h, bloom, m_bits, k)
+
+
+@lru_cache(maxsize=32)
+def _bloom_probe_named(h: str, bloom: str, m_bits: int, k: int):
+    return _bloom_probe_build(F.col(h), F.col(bloom), m_bits, k)
+
+
+def _bloom_probe_build(h, bloom, m_bits: int, k: int):
     mask = m_bits - 1
     # two's-complement & gives the correct low bits for negative hashes
     h1 = h.bitwiseAND(F.lit(mask))
@@ -276,9 +291,7 @@ def filter_unseen_partitioned(
         flagged = flagged.withColumn(
             "_maybe_seen",
             F.when(F.col("bloom").isNull(), F.lit(False)).otherwise(
-                bloom_might_contain_col(
-                    F.col("url_hash"), F.col("bloom"), m_bits, k
-                )
+                bloom_might_contain_col("url_hash", "bloom", m_bits, k)
             ),
         ).drop("bloom")
     else:

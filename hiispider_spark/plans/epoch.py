@@ -398,8 +398,9 @@ def run_epoch(
         from hiispider_spark.functions.siphash import url_hash_udf
 
         # canonicalize + hash + bucket once, cache — the probe's two
-        # branches (bloom-definite-new ∪ exact-checked) both read this
-        url = F.col("url")
+        # branches (bloom-definite-new ∪ exact-checked) both read this.
+        # Builders take column NAMES: memoized plan-build (canon.py
+        # module notes), and withColumns batches the py4j round-trips.
         links = explode_items(extracted_new).select(
             F.col("payload").alias("link")
         )
@@ -409,14 +410,17 @@ def run_epoch(
             links = sco.filter_in_scope(links, url_col="link")
         hashed = (
             links
-            .select(canonical_url_col(F.col("link")).alias("url"))
+            .select(canonical_url_col("link").alias("url"))
             .dropDuplicates(["url"])
-            .withColumn("url_hash", url_hash_udf(url))
-            .withColumn("host", host_col(url))
-            .withColumn("salt", salt_col(url, cfg.n_salts))
+            .withColumns(
+                {
+                    "url_hash": url_hash_udf(F.col("url")),
+                    "host": host_col("url"),
+                    "salt": salt_col("url", cfg.n_salts),
+                }
+            )
             .withColumn(
-                "part_id",
-                part_id_col(F.col("host"), F.col("salt"), cfg.n_partitions),
+                "part_id", part_id_col("host", "salt", cfg.n_partitions)
             )
             .persist()
         )

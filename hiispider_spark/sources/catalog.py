@@ -148,30 +148,41 @@ class IcebergLike:
                 raise KeyError(f"unknown table {name!r} with no snapshot")
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, p) for p in rels]
-        if name in self._PROJECTED_TABLES:
-            return self.spark.read.schema(schemas.ALL_TABLES[name]).parquet(
-                *paths
-            )
+        # explicit schema wherever it is declared: skips the driver-side
+        # footer-sniffing pass on every read (a per-epoch fixed cost —
+        # this runs 5+ times per epoch), and for _PROJECTED_TABLES it is
+        # also the projection out of superset-schema referenced files
+        schema = schemas.ALL_TABLES.get(name)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
     def _delta_latest(self, name: str, entry: dict[str, Any]) -> DataFrame:
         """Latest version of every key present in any delta file of
         ``entry`` — last-written delta wins. O(delta rows): deltas are
-        per-epoch change sets, never the table."""
+        per-epoch change sets, never the table.
+
+        ONE parquet read over all delta dirs (not a per-delta
+        read+union loop — with compact_every=8 that loop cost 8 reader
+        builds + 7 unions of pure driver wall per table per epoch).
+        The newest-wins sequence is recovered from the version dir in
+        ``_metadata.file_path``: ``_new_version_dir`` allocates version
+        numbers monotonically per table and ``commit`` appends delta
+        rels in stage order, so numeric version order IS the append
+        order (test_frontier_deltas pins the resolution)."""
         from pyspark.sql import functions as F
 
         key = MERGE_KEYS[name]
-        dl: DataFrame | None = None
         # explicit schema: an all-deferred epoch writes a 0-row delta
         # (no part files), which plain parquet reads can't infer
         schema = schemas.ALL_TABLES[name]
-        for seq, rel in enumerate(entry.get("deltas", [])):
-            df = self.spark.read.schema(schema).parquet(
-                os.path.join(self.root, rel)
-            )
-            df = df.withColumn("_seq", F.lit(seq))
-            dl = df if dl is None else dl.unionByName(df)
-        assert dl is not None
+        paths = [os.path.join(self.root, r) for r in entry["deltas"]]
+        dl = self.spark.read.schema(schema).parquet(*paths).withColumn(
+            "_seq",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/v(\d+)/", 1
+            ).cast("long"),
+        )
         cols = [c for c in dl.columns if c != "_seq"]
         val = [c for c in cols if c != key]
         return (
