@@ -214,3 +214,74 @@ def test_dequeue_scan_pushes_timestamp_predicate(spark, tiny_seeds, tmp_path):
     )
     assert "PushedFilters" in p
     assert "LessThanOrEqual(next_fetch_ts" in p
+
+
+def test_memoized_builders_match_fresh_trees(spark):
+    """The column-NAME-keyed plan caches (canon/frontier/seen/
+    politeness) must return trees semantically identical to a fresh
+    build — pinned by comparing analyzed plans on the same frame."""
+    from hiispider_spark.functions.canon import (
+        canonical_url_col, host_col, path_col,
+    )
+    from hiispider_spark.operators.frontier import part_id_col, salt_col
+    from hiispider_spark.operators.seen import bloom_might_contain_col
+
+    df = spark.createDataFrame(
+        [("https://EX.com:443/a?b=1&a=2#f", "h", 1, 7, [0] * 4)],
+        "url string, host string, salt int, url_hash long, bloom array<bigint>",
+    )
+
+    import re
+
+    def analyzed(c):
+        s = df.select(c.alias("x"))._jdf.queryExecution().analyzed().toString()
+        # expression/lambda-variable ids are allocation-order artifacts
+        # (x_40#744 vs x_12#103) — strip them; the tree shape and every
+        # literal/function stay compared
+        return re.sub(r"#\d+", "", re.sub(r"lambda ([xy])_\d+", r"lambda \1", s))
+
+    for cached, fresh in [
+        (canonical_url_col("url"), canonical_url_col(F.col("url"))),
+        (host_col("url"), host_col(F.col("url"))),
+        (path_col("url"), path_col(F.col("url"))),
+        (salt_col("url", 8), salt_col(F.col("url"), 8)),
+        (
+            part_id_col("host", "salt", 32),
+            part_id_col(F.col("host"), F.col("salt"), 32),
+        ),
+        (
+            bloom_might_contain_col("url_hash", "bloom", 1 << 17, 7),
+            bloom_might_contain_col(
+                F.col("url_hash"), F.col("bloom"), 1 << 17, 7
+            ),
+        ),
+    ]:
+        assert analyzed(cached) == analyzed(fresh)
+    # cache actually hits: same object back on a second call
+    assert canonical_url_col("url") is canonical_url_col("url")
+
+
+def test_memoized_builders_survive_session_restart():
+    """Cached Column trees hold py4j refs into the JVM gateway, which
+    lives for the PYTHON PROCESS, not the SparkSession — a cached tree
+    built under one session must stay usable after stop()+new session
+    (bench.py and the scaling runs cycle sessions in-process)."""
+    from pyspark.sql import SparkSession
+
+    from hiispider_spark.functions.canon import canonical_url_col
+    from hiispider_spark.session import get_spark
+
+    col = canonical_url_col("url")  # built (or cached) under current jvm
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    s2 = get_spark(cpus=2, shuffle_partitions=2)
+    try:
+        got = (
+            s2.createDataFrame([("HTTP://A.com:80/x?b=1&a=2",)], "url string")
+            .select(col.alias("u"))
+            .collect()[0]["u"]
+        )
+        assert got == "http://a.com/x?a=2&b=1"
+    finally:
+        s2.stop()
