@@ -651,6 +651,14 @@ def run_epoch(
     compacted: list[str] = []
 
     def _timed(name: str, job) -> None:
+        # one scheduler pool per table write: under FAIR mode (session
+        # default) pools share task slots equally, so the small 1-task
+        # writes (neg_cache, lineage, politeness delta) land promptly
+        # instead of queueing behind frontier/seen_set — FIFO showed a
+        # ~6 s epoch-1 straggler tail from exactly that starvation
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"write-{name}"
+        )
         t0 = time.time()
         job()
         write_walls[name] = round(time.time() - t0, 2)

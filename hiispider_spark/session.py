@@ -56,6 +56,15 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.io.compression.codec", "zstd")
         .config("spark.shuffle.compress", "true")
+        # FAIR scheduling across concurrently-submitted jobs: the only
+        # concurrency is the epoch's per-table write pool (and the two
+        # streaming ingest loops), where FIFO lets a 1-task write
+        # (neg_cache/lineage/politeness) starve behind the big
+        # frontier/seen_set jobs — measured as a ~6 s straggler tail on
+        # the first epoch's write phase. Threads opt in by setting the
+        # spark.scheduler.pool local property (run_epoch does);
+        # single-job phases are unaffected by scheduler mode.
+        .config("spark.scheduler.mode", "FAIR")
         # local mode: driver heap is ALL memory. Wide rows (html bytes)
         # need ~task_concurrency × partition_bytes of headroom — 8g with
         # 32 tasks of 200MB+ partitions OOMs; default generously.
