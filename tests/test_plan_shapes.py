@@ -265,23 +265,36 @@ def test_memoized_builders_survive_session_restart():
     """Cached Column trees hold py4j refs into the JVM gateway, which
     lives for the PYTHON PROCESS, not the SparkSession — a cached tree
     built under one session must stay usable after stop()+new session
-    (bench.py and the scaling runs cycle sessions in-process)."""
-    from pyspark.sql import SparkSession
+    (bench.py and the scaling runs cycle sessions in-process).
 
-    from hiispider_spark.functions.canon import canonical_url_col
-    from hiispider_spark.session import get_spark
+    Runs in a SUBPROCESS: the check must stop and restart a session,
+    and stopping the suite's shared conftest session would break every
+    test after this one."""
+    import subprocess
+    import sys
 
-    col = canonical_url_col("url")  # built (or cached) under current jvm
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
-    s2 = get_spark(cpus=2, shuffle_partitions=2)
-    try:
-        got = (
-            s2.createDataFrame([("HTTP://A.com:80/x?b=1&a=2",)], "url string")
-            .select(col.alias("u"))
-            .collect()[0]["u"]
-        )
-        assert got == "http://a.com/x?a=2&b=1"
-    finally:
-        s2.stop()
+    script = """
+import sys
+sys.path.insert(0, ".")
+from hiispider_spark.functions.canon import canonical_url_col
+from hiispider_spark.session import get_spark
+
+s1 = get_spark(cpus=2, shuffle_partitions=2)
+col = canonical_url_col("url")  # built and cached under s1's session
+s1.stop()
+s2 = get_spark(cpus=2, shuffle_partitions=2)
+got = (
+    s2.createDataFrame([("HTTP://A.com:80/x?b=1&a=2",)], "url string")
+    .select(col.alias("u"))
+    .collect()[0]["u"]
+)
+assert got == "http://a.com/x?a=2&b=1", got
+s2.stop()
+print("RESTART-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "RESTART-OK" in out.stdout

@@ -235,3 +235,29 @@ def test_hyperplane_bucket_cap_bounds_identical_family(spark):
     a = sorted(map(tuple, sim.hyperplane_near_dup_pairs(small, 0.5, bucket_cap=None).collect()))
     b = sorted(map(tuple, sim.hyperplane_near_dup_pairs(small, 0.5).collect()))
     assert a == b
+
+
+def test_lit_vecs_bit_identical_to_flit(spark):
+    """_lit_vecs (SQL-parsed double literals — the O(1)-round-trip
+    plan-build path) must be BIT-identical to the F.lit route for
+    adversarial doubles: repr() is the shortest round-trip decimal and
+    Spark's double-literal parse is correctly rounded."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from hiispider_spark.operators.similarity import _lit_vecs
+
+    vals = [
+        0.1, -0.1, 1e-300, -1e300, 2.0 ** -1074, 1.7976931348623157e308,
+        1 / 3, math.pi, -0.0, 0.0, 123456789.123456789, 5e-324,
+    ]
+    df = spark.range(1)
+    got = df.select(_lit_vecs([vals]).alias("v")).collect()[0]["v"][0]
+    want = df.select(
+        F.array(F.array(*[F.lit(x) for x in vals])).alias("v")
+    ).collect()[0]["v"][0]
+    assert [struct.pack("<d", g) for g in got] == [
+        struct.pack("<d", w) for w in want
+    ]
