@@ -100,7 +100,9 @@ def build_frontier(
     """
     has_plugin = "plugin" in seeds.columns
     canon = seeds.select(
-        canonical_url_col(F.col("url")).alias("url"),
+        # name-keyed → memoized tree: this runs per ingest batch in the
+        # streaming paths, not just once at bootstrap
+        canonical_url_col("url").alias("url"),
         "priority",
         *(["plugin"] if has_plugin else []),
     )
@@ -118,14 +120,22 @@ def build_frontier(
         )
         first_ts = first_ts + F.make_interval(secs=offset.cast("double"))
     return (
-        dedup.withColumn("url_hash", url_hash_udf(url))
-        .withColumn("host", host_col(url))
-        .withColumn("salt", salt_col(url, n_salts))
-        .withColumn("part_id", part_id_col(F.col("host"), F.col("salt"), n_partitions))
-        .withColumn("next_fetch_ts", first_ts)
-        .withColumn("interval_s", F.lit(interval_s))
-        .withColumn("retry_count", F.lit(0))
-        .withColumn("state", F.lit("pending"))
+        dedup.withColumns(
+            {
+                "url_hash": url_hash_udf(url),
+                "host": host_col("url"),
+                "salt": salt_col("url", n_salts),
+            }
+        )
+        .withColumns(
+            {
+                "part_id": part_id_col("host", "salt", n_partitions),
+                "next_fetch_ts": first_ts,
+                "interval_s": F.lit(interval_s),
+                "retry_count": F.lit(0),
+                "state": F.lit("pending"),
+            }
+        )
         .select(
             "url", "url_hash", "host", "salt", "part_id", "priority",
             "next_fetch_ts", "interval_s", "retry_count", "state", "plugin",

@@ -69,12 +69,12 @@ def crawl_url(spark: SparkSession, pages: DataFrame, url: str) -> Row | None:
     1-row DataFrame and pushes it through the same canonicalize → hash →
     fetch-join → extract pipeline as the epoch batch."""
     one = spark.createDataFrame([(url,)], "url string").select(
-        canonical_url_col(F.col("url")).alias("url")
+        canonical_url_col("url").alias("url")
     )
     hit = one.join(pages, "url", "inner").select(
         "url",
         url_hash_udf(F.col("url")).alias("url_hash"),
-        host_col(F.col("url")).alias("host"),
+        host_col("url").alias("host"),
         text_extract_udf(F.col("html")).alias("text"),
         F.sha1(F.col("html")).alias("content_sha1"),
     )
