@@ -179,8 +179,11 @@ class IcebergLike:
         paths = [os.path.join(self.root, r) for r in entry["deltas"]]
         dl = self.spark.read.schema(schema).parquet(*paths).withColumn(
             "_seq",
+            # anchored to the part file's PARENT dir — a first-match
+            # pattern would pick up a /v<digits>/ segment in the
+            # catalog root path and silently scramble newest-wins
             F.regexp_extract(
-                F.col("_metadata.file_path"), r"/v(\d+)/", 1
+                F.col("_metadata.file_path"), r"/v(\d+)/[^/]+$", 1
             ).cast("long"),
         )
         cols = [c for c in dl.columns if c != "_seq"]

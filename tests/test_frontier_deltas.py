@@ -361,3 +361,32 @@ def test_frontier_buckets_time_sorted_with_stats(
             assert bool(ts.is_monotonic_increasing)
             checked += 1
     assert checked > 0
+
+
+def test_delta_seq_anchored_to_part_file_parent(spark, tmp_path):
+    """Newest-wins must survive a catalog ROOT whose path contains a
+    /v<digits>/ segment — the _seq regex anchors to the part file's
+    parent version dir, never the first match in the path."""
+    import os
+
+    from hiispider_spark.sources.catalog import IcebergLike
+
+    root = os.path.join(str(tmp_path), "v7", "cat")
+    cat = IcebergLike(spark, root)
+    rows = lambda t, p: spark.createDataFrame(  # noqa: E731
+        [("u", 1, "h", 0, 0, p, None, 60, 0, "pending", "text")],
+        (
+            "url string, url_hash long, host string, salt int, "
+            "part_id int, priority double, next_fetch_ts timestamp, "
+            "interval_s int, retry_count int, state string, "
+            "plugin string"
+        ),
+    )
+    cat.stage_overwrite_parts("frontier", rows("frontier", 1.0), "part_id", [0])
+    cat.commit(epoch=0)
+    cat.stage_append_delta("frontier", rows("frontier", 2.0))
+    cat.commit(epoch=1)
+    cat.stage_append_delta("frontier", rows("frontier", 3.0))
+    cat.commit(epoch=2)
+    got = cat.read("frontier").collect()
+    assert len(got) == 1 and got[0]["priority"] == 3.0
