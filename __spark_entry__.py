@@ -144,14 +144,24 @@ def _flagship_epoch1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
     allowed, _denied = pol.split_robots(sl, robots)
     empty_state = spark.createDataFrame([], POLITENESS)
-    bucketed = pol.apply_token_buckets(
+    # column twin of the pandas token bucket — proved row-identical by
+    # test_politeness (and two full epochs byte-identical under both
+    # impls); pure scheduling, no batched-HTTP stage to host, so the
+    # JVM window form applies (guide §4: no Python boundary)
+    bucketed = pol.apply_token_buckets_col(
         allowed, empty_state, EPOCH1_TS, 60.0, tie_break="url"
     )
     granted = bucketed.filter(F.col("granted")).select(*fr.columns)
     fetched, _failed = fetch_join(granted, pages)
     ext = run_extraction(with_content_sha1(fetched), epoch=1)
-    # DuckDB has no sha1 → the oracle-compared digest is sha2-256
-    return ext.join(pages.select("url", "html"), "url").select(
+    # DuckDB has no sha1 → the oracle-compared digest is sha2-256.
+    # Attach it by broadcasting the (small) extracted side into a
+    # second pages scan: a plain join here sort-merge-shuffles the
+    # whole html-bearing pages table by url (measured as the plan's
+    # biggest exchange); the broadcast streams pages map-side and the
+    # digest is computed only for matched rows. Same inner join, same
+    # rows.
+    return pages.select("url", "html").join(F.broadcast(ext), "url").select(
         "url", "text", F.sha2(F.col("html"), 256).alias("content_sha256")
     )
 
@@ -226,8 +236,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         empty = spark.createDataFrame([], POLITENESS)
         # column twin of the pandas grant (row-identical, pytest-pinned)
         # — pure scheduling analytics, no batched-HTTP stage to host,
-        # so the JVM window form applies
-        bucketed = pol.apply_token_buckets_col(allowed, empty, EPOCH1_TS, 60.0)
+        # so the JVM window form applies. tie_break="url": the output is
+        # per-host COUNTS (min(budget, n) granted), invariant to the
+        # within-host order, and the url tie lets Catalyst prune
+        # url_hash — dropping the SipHash Arrow UDF from this plan.
+        bucketed = pol.apply_token_buckets_col(
+            allowed, empty, EPOCH1_TS, 60.0, tie_break="url"
+        )
         return bucketed.groupBy("host").agg(
             F.sum(F.col("granted").cast("long")).alias("n_granted"),
             F.sum((~F.col("granted")).cast("long")).alias("n_deferred"),
@@ -243,8 +258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
         allowed, _ = pol.split_robots(sl, robots)
         empty = spark.createDataFrame([], POLITENESS)
+        # tie_break="url" for the same count-invariance/pruning reason
+        # as q_politeness_budget above
         bucketed = pol.apply_token_buckets_col(
-            allowed, empty, EPOCH1_TS, 60.0, host_max_parallel=5
+            allowed, empty, EPOCH1_TS, 60.0, host_max_parallel=5,
+            tie_break="url",
         )
         return bucketed.groupBy("host").agg(
             F.sum(F.col("granted").cast("long")).alias("n_granted"),

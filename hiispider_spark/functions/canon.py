@@ -141,9 +141,18 @@ def _canonical_url_build(url: Column) -> Column:
     ).otherwise(hostport)
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
+    # gate the query-sort chain on '?' presence: CaseWhen evaluates
+    # branches lazily per row, so query-less URLs (the overwhelming
+    # majority of crawl links) skip the interpreted HOF chain (split →
+    # filter → transform → array_sort-with-comparator → array_join)
+    # entirely instead of running it against an empty string. URLs with
+    # a query still take the full stable-sort path — byte-identical
+    # output for every input (test_canon covers both).
     sorted_q = _sorted_query_col(F.regexp_extract(rest, r"\?(.*)$", 1))
     tail = F.when(
-        sorted_q == "", F.lit("")  # no query, or only empty '&' pairs
+        ~rest.contains("?"), F.lit("")
+    ).when(
+        sorted_q == "", F.lit("")  # only empty '&' pairs
     ).otherwise(F.concat(F.lit("?"), sorted_q))
     return F.concat(scheme, F.lit("://"), hostport, path, tail)
 

@@ -66,46 +66,66 @@ def host_pagerank(
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
     )
-    # edges/nodes/deg are re-joined every iteration — persist once
-    # (O(hosts) / O(host-pairs) narrow rows, orders below corpus size)
-    truncate = n_iter > 5
-    if truncate:
-        edges = edges.persist()
-        nodes = nodes.persist()
+    # edges/nodes are re-joined EVERY iteration — persist them always
+    # (O(host-pairs) / O(hosts) narrow rows, orders below corpus size):
+    # without the persist each iteration job re-derived the edge set
+    # from a full corpus scan (exchanges are not reusable across jobs).
+    # edges are persisted ALREADY HASH-PARTITIONED ON dst, so each
+    # iteration's per-dst contribution aggregate finds its required
+    # distribution in place — zero exchanges inside the loop (guide
+    # §2.4: establish the partitioning once, reuse it every pass).
+    # The nodes.count() below both supplies n and fills both caches.
+    edges = edges.repartition("dst").persist()
+    nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
-        return spark.createDataFrame([], "host string, rank double")
-    deg = edges.groupBy("src").agg(
-        F.count("*").cast("double").alias("d")
-    )
-    base = (1.0 - damping) / n
-    pr = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
-        contrib = (
-            edges.join(pr, edges["src"] == pr["host"])
-            .join(deg, "src")
-            .select(F.col("dst").alias("host"), (F.col("rank") / F.col("d")).alias("c"))
-            .groupBy("host")
-            .agg(F.sum("c").alias("c"))
-        )
-        pr = nodes.join(contrib, "host", "left").select(
-            "host",
-            F.round(
-                F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)),
-                10,
-            ).alias("rank"),
-        )
-        if truncate:
-            # lineage grows linearly with iterations; without truncation
-            # Catalyst re-analyzes an ever-deeper plan (and AQE re-plans
-            # it) each step — localCheckpoint keeps per-iteration wall
-            # flat. Values are unaffected: each step rounds to 10 dp.
-            pr = pr.localCheckpoint(eager=True)
-    out = pr.select("host", F.round("rank", 6).alias("rank"))
-    if truncate:
-        out = out.localCheckpoint(eager=True)
         edges.unpersist()
         nodes.unpersist()
+        return spark.createDataFrame([], "host string, rank double")
+    # deg is re-broadcast every iteration — checkpoint the O(hosts)
+    # frame once so those builds never re-scan the edge cache
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("d")
+    ).localCheckpoint(eager=True)
+    base = (1.0 - damping) / n
+    # The loop state is the CONTRIBUTION vector (host, c), not the rank
+    # vector: rank_i(h) = round(base + damping·c_i(h), 10) with c = 0
+    # for hosts nothing links to, so the rank can be re-derived inline
+    # wherever needed (on edge sources below, on all nodes at the end).
+    # This drops the per-iteration nodes-join job — each iteration is
+    # ONE aggregate over the dst-partitioned edge cache plus two tiny
+    # broadcast builds. Values are identical to the rank-vector form:
+    # same joins on the same keys, same doubles in the same order.
+    # localCheckpoint each step keeps the per-iteration plan flat (the
+    # nested broadcast tower contrib_i ← contrib_{i-1} ← … otherwise
+    # serializes broadcast builds through ever-deeper replans); each
+    # step rounds to 10 dp, so checkpointing never changes a value.
+    contrib = None
+    rank_of_c = F.round(
+        F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)), 10
+    )
+    for i in range(n_iter):
+        if contrib is None:
+            ranked = edges.withColumn("rank", F.lit(1.0 / n))
+        else:
+            ranked = edges.join(
+                F.broadcast(contrib), edges["src"] == contrib["host"], "left"
+            ).withColumn("rank", rank_of_c)
+        contrib = (
+            ranked.join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("d")).alias("c"))
+            .select(F.col("dst").alias("host"), "c")
+            .localCheckpoint(eager=True)
+        )
+    out = nodes.join(F.broadcast(contrib), "host", "left").select(
+        "host", F.round(rank_of_c, 6).alias("rank")
+    )
+    # the result no longer references edges/nodes lineage (pr is
+    # checkpointed), so the caches can be dropped immediately
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
     return out
 
 

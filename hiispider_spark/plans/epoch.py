@@ -121,12 +121,16 @@ class EpochConfig:
     # synthetic corpus emits only in-scope links (no behavior change),
     # and golden fixtures pin the unguarded path.
     scope_guard: bool = False
-    # Token-bucket implementation: "pandas" (groupBy(host).applyInPandas
-    # — the BASELINE-mandated form, and the stage where batched live
-    # HTTP executes in production) or "column" (the row-identical JVM
-    # window twin, test-pinned — the fast path when the fetch is a join
-    # and the pandas stage hosts no I/O, as in this sandbox).
-    politeness_impl: str = "pandas"
+    # Token-bucket implementation: "column" (the JVM window twin — the
+    # fast path whenever the fetch is a join and the politeness stage
+    # hosts no I/O, as in this sandbox; guide §4: no Python boundary on
+    # the hot path) or "pandas" (groupBy(host).applyInPandas — the
+    # BASELINE-mandated expression and the stage where batched live
+    # HTTP executes in a production deployment; flip to it when the
+    # fetch does real I/O). The two are proved row-identical by
+    # test_politeness, including two full epochs byte-identical under
+    # both impls, so the default only changes the physical plan.
+    politeness_impl: str = "column"
     # Per-host concurrency ceiling per epoch (the reference's
     # max_simultaneous_requests_per_host) on top of the rate budget;
     # None = rate-limited only (golden fixtures).
@@ -266,8 +270,12 @@ def run_epoch(
     # (measured wall-neutral at sandbox scale, one fewer scheduling
     # round per dropped count — which is what matters at 1000
     # executors). The sibling-race the old per-stage counts guarded
-    # against can only occur across CONCURRENT jobs, and the write
-    # pool is the only concurrency in the epoch.
+    # against can only occur across CONCURRENT jobs; the write jobs
+    # (submitted eagerly, overlapping the later serial phases) only
+    # ever consume frames ALREADY materialized by a serial job — each
+    # _submit below sits after the count/collect that filled its
+    # inputs' caches — so no persisted frame is first-computed by two
+    # jobs at once.
     sl = dequeue_topk(
         frontier, ts, cfg.k_per_partition, aging_weight=cfg.aging_weight
     ).persist()
@@ -343,6 +351,43 @@ def run_epoch(
     n_failed = failed.count()
     n_fetched = fetched_meta.count()
     _mark("politeness_fetch")
+
+    # Eager write scheduling (guide §2.6 "overlap independent jobs"):
+    # every state-table write whose inputs are already materialized is
+    # submitted NOW, from a driver thread, so it back-fills executor
+    # slots while the epoch's remaining serial phases (extract, link
+    # discovery) run — instead of serializing the whole write pool
+    # after them. Inputs are all persisted-and-materialized frames
+    # (the r4 materialization discipline), so no concurrent-first-use
+    # race exists; per-table writes stage into distinct _staged keys
+    # (GIL-safe, one committing thread at the end — catalog notes).
+    from concurrent.futures import ThreadPoolExecutor
+
+    write_walls: dict[str, float] = {}
+    compacted: list[str] = []
+    pool = ThreadPoolExecutor(max_workers=8)
+    futures = []
+
+    def _timed(name: str, job) -> None:
+        # one scheduler pool per table write: under FAIR mode (session
+        # default) pools share task slots equally, so the small 1-task
+        # writes (neg_cache, lineage, politeness delta) land promptly
+        # instead of queueing behind frontier/seen_set — FIFO showed a
+        # ~6 s epoch-1 straggler tail from exactly that starvation.
+        # try/finally: pool-executor threads are reused — a sticky
+        # local property would put later jobs in the last write's pool.
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"write-{name}"
+        )
+        t0 = time.time()
+        try:
+            job()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        write_walls[name] = round(time.time() - t0, 2)
+
+    def _submit(name: str, job) -> None:
+        futures.append(pool.submit(_timed, name, job))
     # conditional GET against the compact page_cache state table —
     # O(slice) per epoch (only touched buckets' cache files open),
     # never a scan+aggregate of the ever-growing extracted history
@@ -382,9 +427,77 @@ def run_epoch(
         )
     )
 
+    # page-cache + politeness + neg-cache state depend only on frames
+    # the fused politeness/fetch job just materialized (bucketed,
+    # fetched_meta, failed) — their writes start here and overlap the
+    # extract + link-discovery phases below. Same frames, same staged
+    # bytes as the post-phase pool they replace.
+    new_state = pol.next_politeness_state(bucketed, ts, cfg.n_partitions)
+    if cfg.state_deltas:
+        # delta = exactly this epoch's changed keys: fetched digests /
+        # touched hosts. O(slice) rows, a handful of files; no carried
+        # read, no per-table parts collect.
+        cache_job = lambda: cat.stage_append_delta(  # noqa: E731
+            "page_cache",
+            cache_rows.coalesce(_delta_files(n_fetched, cfg.n_partitions)),
+        )
+        politeness_job = lambda: cat.stage_append_delta(  # noqa: E731
+            "politeness", new_state.coalesce(1)
+        )
+    else:
+        # fetched rows replace their digests, the rest of the touched
+        # buckets carry; untouched buckets never open
+        def cache_job() -> None:
+            cache_next = cache_rows.unionByName(
+                cat.read_parts("page_cache", touched).join(
+                    fetched_meta.select("url_hash"), "url_hash", "left_anti"
+                )
+            )
+            cat.stage_overwrite_parts(
+                "page_cache", cache_next, "part_id", touched
+            )
+
+        # updated hosts replace; only their host-hash buckets rewrite
+        # (manifest-pruned paths), every other bucket carries by
+        # reference. pol_parts is a tiny collect over this epoch's
+        # hosts — computed inside the write thread.
+        def politeness_job() -> None:
+            pol_parts = sorted(
+                r.part_id
+                for r in new_state.select("part_id").distinct().collect()
+            )
+            carried = cat.read_parts("politeness", pol_parts).join(
+                new_state.select("host"), "host", "left_anti"
+            )
+            cat.stage_overwrite_parts(
+                "politeness", new_state.unionByName(carried), "part_id",
+                pol_parts,
+            )
+
+    neg_next = next_neg_cache(
+        neg_cache, failed, ts, cfg.neg_cache_fail_threshold, cfg.neg_cache_ttl_s
+    )
+    _submit("politeness", politeness_job)
+    _submit(
+        "neg_cache",
+        lambda: cat.stage_overwrite("neg_cache", neg_next.coalesce(1)),
+    )
+    _submit("page_cache", cache_job)
+
     extracted_new = run_extraction(modified, e).persist(StorageLevel.DISK_ONLY)
     n_extracted = extracted_new.count()
     _mark("extract")
+
+    # lineage (per-bucket metrics) and the extracted append consume the
+    # just-materialized extract cache (+ already-persisted sl/meta/
+    # failed) — overlap them with link discovery below
+    lin = build_lineage(sl, fetched_meta, extracted_new, failed, e, ts)
+    _submit(
+        "extracted", lambda: cat.stage_append("extracted", extracted_new)
+    )
+    # lineage/neg_cache are ≤ P rows by construction — one file,
+    # one task, instead of shuffle-partition-many empty files
+    _submit("lineage", lambda: cat.stage_append("lineage", lin.coalesce(1)))
 
     # discovered out-links → canonicalize → unseen → new entries
     # (O-20/O-21). Candidates get their salted bucket up front so the
@@ -545,66 +658,8 @@ def run_epoch(
             )
         new_frontier = new_frontier.repartition(cfg.n_partitions, "part_id")
 
-    # page-cache + politeness state — same merge-on-read vs
-    # partition-overwrite choice as the frontier: both are keyed
-    # read-modify-write tables with the identical 10^10
-    # write-amplification problem.
-    new_state = pol.next_politeness_state(bucketed, ts, cfg.n_partitions)
-    if cfg.state_deltas:
-        # delta = exactly this epoch's changed keys: fetched digests /
-        # touched hosts. O(slice) rows, a handful of files; no carried
-        # read, no per-table parts collect.
-        cache_job = lambda: cat.stage_append_delta(  # noqa: E731
-            "page_cache",
-            cache_rows.coalesce(_delta_files(n_fetched, cfg.n_partitions)),
-        )
-        politeness_job = lambda: cat.stage_append_delta(  # noqa: E731
-            "politeness", new_state.coalesce(1)
-        )
-    else:
-        # fetched rows replace their digests, the rest of the touched
-        # buckets carry; untouched buckets never open
-        cache_next = cache_rows.unionByName(
-            cat.read_parts("page_cache", touched).join(
-                fetched_meta.select("url_hash"), "url_hash", "left_anti"
-            )
-        )
-        cache_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
-            "page_cache", cache_next, "part_id", touched
-        )
-        # updated hosts replace; only their host-hash buckets rewrite
-        # (manifest-pruned paths), every other bucket carries by
-        # reference. pol_parts is a tiny collect over this epoch's hosts.
-        pol_parts = sorted(
-            r.part_id
-            for r in new_state.select("part_id").distinct().collect()
-        )
-        carried = cat.read_parts("politeness", pol_parts).join(
-            new_state.select("host"), "host", "left_anti"
-        )
-        politeness_next = new_state.unionByName(carried)
-        politeness_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
-            "politeness", politeness_next, "part_id", pol_parts
-        )
-
-    # lineage (per-bucket metrics) — extraction carries part_id through
-    lin = build_lineage(sl, fetched_meta, extracted_new, failed, e, ts)
-
-    # stage + atomic commit. The table writes are independent given the
-    # persisted intermediates, so they run as concurrent Spark jobs from
-    # driver threads — overlapping sequential job latencies into
-    # ~max(one). All bucketed state (frontier, page_cache, seen_set) is
-    # committed partition-level: write O(touched buckets), untouched
-    # buckets carry by manifest reference. (Seen set is incremental:
-    # append only this epoch's inserted URLs to seen_exact and OR their
-    # bloom bits into the touched partitions' filters — O(new) per
-    # epoch; frontier rows are never deleted, so frontier membership ==
-    # seen_exact membership.)
-    from concurrent.futures import ThreadPoolExecutor
-
-    neg_next = next_neg_cache(
-        neg_cache, failed, ts, cfg.neg_cache_fail_threshold, cfg.neg_cache_ttl_s
-    )
+    # frontier + seen writes are the last to become schedulable (they
+    # need the inserted set); everything else is already in flight
     if cfg.state_deltas:
         frontier_job = lambda: cat.stage_append_delta(  # noqa: E731
             "frontier", frontier_delta, n_new_keys=n_inserted
@@ -613,59 +668,32 @@ def run_epoch(
         frontier_job = lambda: cat.stage_overwrite_parts(  # noqa: E731
             "frontier", new_frontier, "part_id", touched_all
         )
-    jobs = [
-        ("frontier", frontier_job),
-        ("politeness", politeness_job),
-        ("neg_cache", lambda: cat.stage_overwrite("neg_cache", neg_next.coalesce(1))),
-        ("page_cache", cache_job),
-        ("extracted", lambda: cat.stage_append("extracted", extracted_new)),
-        # lineage/neg_cache are ≤ P rows by construction — one file,
-        # one task, instead of shuffle-partition-many empty files
-        ("lineage", lambda: cat.stage_append("lineage", lin.coalesce(1))),
-    ]
+    _submit("frontier", frontier_job)
     if cfg.follow_links and ins_parts:  # nothing new discovered → no-op
         if not cfg.state_deltas:
-            jobs.append(
-                # bare 8-byte hashes: a handful of files is plenty, and
-                # the driver-side commit cost is per file. (In delta
-                # mode seen_exact comes for free — a manifest reference
-                # to the frontier delta files, added after the pool.)
-                ("seen_exact", lambda: cat.stage_append(
-                    "seen_exact", inserted.select("url_hash").coalesce(8)
-                ))
-            )
-        jobs.append(
-            ("seen_set", lambda: cat.stage_overwrite_parts(
-                "seen_set",
-                seen_ops.merge_partition_blooms(
-                    cat.read_parts("seen_set", ins_parts, "partition_id"),
-                    inserted.select("part_id", "url_hash"),
-                    cfg.bloom_m_bits,
-                ),
-                "partition_id",
-                ins_parts,
+            # bare 8-byte hashes: a handful of files is plenty, and
+            # the driver-side commit cost is per file. (In delta
+            # mode seen_exact comes for free — a manifest reference
+            # to the frontier delta files, added after the pool.)
+            _submit("seen_exact", lambda: cat.stage_append(
+                "seen_exact", inserted.select("url_hash").coalesce(8)
             ))
-        )
+        _submit("seen_set", lambda: cat.stage_overwrite_parts(
+            "seen_set",
+            seen_ops.merge_partition_blooms(
+                cat.read_parts("seen_set", ins_parts, "partition_id"),
+                inserted.select("part_id", "url_hash"),
+                cfg.bloom_m_bits,
+            ),
+            "partition_id",
+            ins_parts,
+        ))
     _mark("plan_writes")
-    write_walls: dict[str, float] = {}
-    compacted: list[str] = []
-
-    def _timed(name: str, job) -> None:
-        # one scheduler pool per table write: under FAIR mode (session
-        # default) pools share task slots equally, so the small 1-task
-        # writes (neg_cache, lineage, politeness delta) land promptly
-        # instead of queueing behind frontier/seen_set — FIFO showed a
-        # ~6 s epoch-1 straggler tail from exactly that starvation
-        spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", f"write-{name}"
-        )
-        t0 = time.time()
-        job()
-        write_walls[name] = round(time.time() - t0, 2)
-
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        for f in [pool.submit(_timed, n, j) for n, j in jobs]:
+    try:
+        for f in futures:
             f.result()
+    finally:
+        pool.shutdown(wait=False)
     if cfg.state_deltas:
         if ins_parts:
             # seen_exact ⊇ frontier membership and frontier rows are
