@@ -213,7 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_seen_antijoin(spark, sf):
         pages = synth_pages(spark, sf)
         seen = _frontier(spark, sf).select("url")
-        return pages.join(seen, "url", "left_anti").select("url")
+        # broadcast the (k-bounded) seen side: the anti-join then
+        # streams pages map-side instead of sort-merge-shuffling the
+        # corpus by url. Same anti-join, same rows. (At 10^10 the seen
+        # set is the bloom+exact pipeline of operators/seen.py, not a
+        # broadcast — this query demonstrates the join shape.)
+        return pages.join(F.broadcast(seen), "url", "left_anti").select("url")
 
     q["seen_antijoin"] = q_seen_antijoin
 

@@ -36,19 +36,35 @@ def _decode_utf8(html: pd.Series) -> pd.Series:
     return html.map(lambda b: b.decode("utf-8", errors="replace"))
 
 
-# --- plugin implementations: pd.Series[bytes] -> pd.Series[str] -------------
+# --- plugin implementations -------------------------------------------------
+# Each comes in two layers: a decoded-text form (pd.Series[str] →
+# pd.Series[str], shared by the fused text+links UDF so html is decoded
+# ONCE per batch) and the bytes form (pd.Series[bytes] → pd.Series[str])
+# that standalone UDFs call — identical outputs by construction.
+def _text_impl_s(s: pd.Series) -> pd.Series:
+    return s.str.replace(_TAG_RE, "", regex=True)
+
+
+def _title_impl_s(s: pd.Series) -> pd.Series:
+    return s.str.extract(r"<title>([^<]*)</title>", expand=False)
+
+
+def _anchor_impl_s(s: pd.Series) -> pd.Series:
+    """First href in the document (a link-centric plugin that has real
+    output on any page with out-links)."""
+    return s.str.extract(_HREF_RE, expand=False)
+
+
 def _text_impl(html: pd.Series) -> pd.Series:
-    return _decode_utf8(html).str.replace(_TAG_RE, "", regex=True)
+    return _text_impl_s(_decode_utf8(html))
 
 
 def _title_impl(html: pd.Series) -> pd.Series:
-    return _decode_utf8(html).str.extract(r"<title>([^<]*)</title>", expand=False)
+    return _title_impl_s(_decode_utf8(html))
 
 
 def _anchor_impl(html: pd.Series) -> pd.Series:
-    """First href in the document (a link-centric plugin that has real
-    output on any page with out-links)."""
-    return _decode_utf8(html).str.extract(_HREF_RE, expand=False)
+    return _anchor_impl_s(_decode_utf8(html))
 
 
 #: head-metadata fields: <meta name=...> and OpenGraph <meta
@@ -62,14 +78,13 @@ META_FIELD_RES = {
 }
 
 
-def _meta_impl(html: pd.Series) -> pd.Series:
+def _meta_impl_s(s: pd.Series) -> pd.Series:
     """Head-metadata plugin: the four fields as a sorted-key JSON
     object string (absent field → null), the engine's O-14 payload
     convention. Field extraction is vectorized; only the final
     dict→JSON assembly walks the batch."""
     import json as _json
 
-    s = _decode_utf8(html)
     fields = {
         k: s.str.extract(rx, expand=False) for k, rx in META_FIELD_RES.items()
     }
@@ -83,6 +98,10 @@ def _meta_impl(html: pd.Series) -> pd.Series:
     )
 
 
+def _meta_impl(html: pd.Series) -> pd.Series:
+    return _meta_impl_s(_decode_utf8(html))
+
+
 #: per-URL-routable text plugins (O-10): name -> vectorized impl. The
 #: Spark equivalent of BaseServer.functions — the dict ships inside the
 #: routed UDF's closure (task-broadcast), replacing the reference's
@@ -92,6 +111,14 @@ TEXT_PLUGIN_IMPLS = {
     "title": _title_impl,
     "anchor": _anchor_impl,
     "meta": _meta_impl,
+}
+
+#: decoded-text twins of TEXT_PLUGIN_IMPLS (shared-decode dispatch)
+_DECODED_PLUGIN_IMPLS = {
+    "text": _text_impl_s,
+    "title": _title_impl_s,
+    "anchor": _anchor_impl_s,
+    "meta": _meta_impl_s,
 }
 
 DEFAULT_PLUGIN = "text"
@@ -116,8 +143,7 @@ def title_extract_udf(html: pd.Series) -> pd.Series:
     return _title_impl(html)
 
 
-@F.pandas_udf(T.StringType())
-def routed_extract_udf(html: pd.Series, plugin: pd.Series) -> pd.Series:
+def _routed_impl(html: pd.Series, plugin: pd.Series) -> pd.Series:
     """Per-URL plugin dispatch (O-10) in ONE pass over the data.
 
     The reference resolves each job's ``"plugin/function"`` string to a
@@ -141,6 +167,47 @@ def routed_extract_udf(html: pd.Series, plugin: pd.Series) -> pd.Series:
     if rest.any():
         out[rest] = TEXT_PLUGIN_IMPLS[DEFAULT_PLUGIN](html[rest]).astype(object)
     return out
+
+
+@F.pandas_udf(T.StringType())
+def routed_extract_udf(html: pd.Series, plugin: pd.Series) -> pd.Series:
+    return _routed_impl(html, plugin)
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+def routed_with_links_udf(html: pd.Series, plugin: pd.Series) -> pd.DataFrame:
+    """Routed plugin text + out-links in ONE Python evaluation.
+
+    ``run_extraction`` needs both per row; as two separate UDFs the
+    html bytes crossed the JVM→Python boundary twice and were UTF-8
+    decoded twice per batch (guide §4: the boundary cost is per column
+    crossing, and decode dominates these plugins). Same impls, same
+    per-field outputs — only the transfer and decode are shared.
+    """
+    decoded = _decode_utf8(html)
+    out = pd.Series([None] * len(html), index=html.index, dtype=object)
+    routed = pd.Series([False] * len(html), index=html.index)
+    for name, impl in _DECODED_PLUGIN_IMPLS.items():
+        mask = (plugin == name).to_numpy()
+        if mask.any():
+            out[mask] = impl(decoded[mask]).astype(object)
+            routed[mask] = True
+    rest = (~routed).to_numpy()
+    if rest.any():
+        out[rest] = _DECODED_PLUGIN_IMPLS[DEFAULT_PLUGIN](
+            decoded[rest]
+        ).astype(object)
+    return pd.DataFrame(
+        {"text": out, "links": decoded.str.findall(_HREF_RE)},
+        index=html.index,
+    )
 
 
 # O-13 — evaluateBoolean [hs: hiispider/evaluateboolean.py †]
@@ -200,22 +267,28 @@ def run_extraction(modified: DataFrame, epoch: int) -> DataFrame:
     expansion is the crawler's job, not the plugin's. items =
     out-links as (item_hash, payload) pairs; item_hash is xxhash64 of
     the payload (JVM-side), feeding the delta operator.
+
+    text + links come from ONE fused Arrow UDF
+    (:func:`routed_with_links_udf`): the html column crosses the Python
+    boundary once and is decoded once per batch instead of once per
+    plugin UDF (guide §4) — outputs byte-identical to the standalone
+    ``routed_extract_udf`` / ``links_extract_udf`` pair (same impls).
     """
-    links = links_extract_udf(F.col("html"))
     carry = ["part_id"] if "part_id" in modified.columns else []
     plugin = (
         F.col("plugin")
         if "plugin" in modified.columns
         else F.lit(DEFAULT_PLUGIN)
     )
-    return modified.select(
+    tl = routed_with_links_udf(F.col("html"), plugin)
+    return modified.withColumn("_tl", tl).select(
         *carry,
         "url_hash",
         "url",
         plugin.alias("plugin"),
-        routed_extract_udf(F.col("html"), plugin).alias("text"),
+        F.col("_tl.text").alias("text"),
         F.transform(
-            links,
+            F.col("_tl.links"),
             lambda u: F.struct(
                 F.xxhash64(u).alias("item_hash"), u.alias("payload")
             ),

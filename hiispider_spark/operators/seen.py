@@ -131,35 +131,55 @@ def merge_partition_blooms(
 
     ``new_items`` carries (part_id, url_hash). Partitions unseen so far
     get fresh rows; untouched partitions pass through unchanged.
-    """
-    new_blooms = build_partition_blooms(new_items, m_bits, k).select(
-        "partition_id",
-        F.col("bloom").alias("bloom_new"),
-        F.col("n_items").alias("n_new"),
-    )
-    joined = old_seen_set.join(new_blooms, "partition_id", "full_outer")
 
-    # bitwise OR word-by-word as a JVM zip_with — no Python in the merge
-    ored = (
-        F.when(F.col("bloom").isNull(), F.col("bloom_new"))
-        .when(F.col("bloom_new").isNull(), F.col("bloom"))
-        .otherwise(
-            F.zip_with("bloom", "bloom_new", lambda x, y: x.bitwiseOR(y))
+    One cogroup pandas stage does the whole merge — old filter + new
+    hashes meet per partition, the OR and the inserts run vectorized in
+    numpy. The previous form (build new blooms in pandas → full-outer
+    join → JVM ``zip_with`` OR) shipped every filter through an extra
+    shuffle and evaluated an interpreted lambda per WORD of every
+    filter (m_bits/64 evals × partitions, the write path's hot loop).
+    Same bits by construction: OR of the same positions; ``fpp`` uses
+    the same formula ``estimated_fpp`` already applies to fresh rows.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("partition_id", T.IntegerType(), False),
+            T.StructField("bloom", T.ArrayType(T.LongType()), False),
+            T.StructField("n_items", T.LongType(), False),
+            T.StructField("fpp", T.DoubleType(), False),
+        ]
+    )
+
+    def merge(key, old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+        if len(old):
+            bloom = (
+                np.asarray(old["bloom"].iloc[0], dtype=np.int64)
+                .view(np.uint8)
+                .copy()
+            )
+            for b in old["bloom"].iloc[1:]:  # defensive: ≤1 row/partition
+                bloom |= np.asarray(b, dtype=np.int64).view(np.uint8)
+            n_old = int(old["n_items"].sum())
+        else:
+            bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+            n_old = 0
+        if len(new):
+            h = new["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+            _insert(bloom, h, m_bits, k)
+        n = n_old + len(new)
+        return pd.DataFrame(
+            {
+                "partition_id": [int(key[0])],
+                "bloom": [bloom.view(np.int64)],
+                "n_items": [n],
+                "fpp": [estimated_fpp(n, m_bits, k)],
+            }
         )
-    )
-    n_total = F.coalesce(F.col("n_items"), F.lit(0)) + F.coalesce(
-        F.col("n_new"), F.lit(0)
-    )
-    # fpp re-estimated from the count (union keeps it conservative)
-    est = (
-        1.0
-        - F.exp(-F.lit(float(k)) * n_total.cast("double") / F.lit(float(m_bits)))
-    ) ** k
-    return joined.select(
-        "partition_id",
-        ored.alias("bloom"),
-        n_total.cast("long").alias("n_items"),
-        est.alias("fpp"),
+
+    return (
+        old_seen_set.groupby("partition_id")
+        .cogroup(new_items.select("part_id", "url_hash").groupby("part_id"))
+        .applyInPandas(merge, out_schema)
     )
 
 

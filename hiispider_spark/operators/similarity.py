@@ -20,6 +20,7 @@ vec_id as the total tie-break, so results are stable across engines
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -340,6 +341,17 @@ def _lit_vecs(rows: list[list[float]]) -> Column:
     bit-identical to the ``F.lit`` route (measured: collected arrays
     compare equal).
     """
+    for ri, row in enumerate(rows):
+        for ci, x in enumerate(row):
+            if not math.isfinite(float(x)):
+                # repr() would render 'nanD'/'infD', which fails Spark's
+                # SQL parse with an opaque AnalysisException at plan
+                # build — name the offending element instead (a NaN here
+                # usually means an empty k-means cluster leaked through)
+                raise ValueError(
+                    f"_lit_vecs: non-finite component {x!r} at "
+                    f"row {ri}, index {ci}"
+                )
     body = ",".join(
         "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
         for row in rows

@@ -108,7 +108,18 @@ class IcebergLike:
         # correct by construction. Per-table write jobs WITHIN one
         # transaction (run_epoch's thread pool) are fine: dict writes
         # to distinct keys under the GIL, one committing thread.
+        # Transaction-scope safety cannot move inside stage_* itself:
+        # the epoch's write-pool threads stage concurrently while the
+        # transaction owner is a DIFFERENT thread, and an RLock is
+        # reentrant per thread — so stage-level acquisition would
+        # deadlock exactly the supported concurrency. What the layer
+        # CAN enforce by construction: commit/rollback acquire the
+        # lock themselves (a direct caller beside a stream serializes
+        # at the publish point instead of silently co-committing), and
+        # every ``_staged`` mutation goes through ``_staged_mutex`` so
+        # the dict is never torn regardless of caller discipline.
         self.write_lock = threading.RLock()
+        self._staged_mutex = threading.Lock()
 
     # ------------------------------------------------------------- manifest
     def _manifest_path(self) -> str:
@@ -296,11 +307,12 @@ class IcebergLike:
         whole-table state tables, e.g. neg_cache)."""
         rel, absdir = self._new_version_dir(name)
         df.write.mode("overwrite").parquet(absdir)
-        self._staged[name] = {
-            "paths": [rel],
-            "path_rows": [_dir_row_count(absdir)],
-            "next_version": int(rel.rsplit("v", 1)[1]) + 1,
-        }
+        with self._staged_mutex:
+            self._staged[name] = {
+                "paths": [rel],
+                "path_rows": [_dir_row_count(absdir)],
+                "next_version": int(rel.rsplit("v", 1)[1]) + 1,
+            }
 
     def stage_overwrite_parts(
         self,
@@ -388,12 +400,13 @@ class IcebergLike:
             if set(part_rows) >= set(parts)
             else None
         )
-        self._staged[name] = {
-            "parts": parts,
-            "part_rows": part_rows,
-            "key_count": key_count,
-            "next_version": next_version,
-        }
+        with self._staged_mutex:
+            self._staged[name] = {
+                "parts": parts,
+                "part_rows": part_rows,
+                "key_count": key_count,
+                "next_version": next_version,
+            }
 
     def stage_append_delta(
         self, name: str, df: DataFrame, n_new_keys: int | None = None
@@ -424,25 +437,27 @@ class IcebergLike:
         n = _dir_row_count(absdir)
         prev_dr = prev.get("delta_rows")
         prev_kc = prev.get("key_count")
-        self._staged[name] = {
-            "parts": dict(prev.get("parts", {})),
-            "part_rows": dict(prev.get("part_rows", {})),
-            "deltas": list(prev.get("deltas", [])) + [rel],
-            "delta_rows": (
-                list(prev_dr or []) + [n]
-                if prev_dr is not None or not prev.get("deltas")
-                else None  # legacy deltas without counts stay unknown
-            ),
-            # delta keys already in the table update in place; only the
-            # caller knows how many are genuinely new (e.g. the epoch's
-            # inserted count) — without it the exact size becomes unknown
-            "key_count": (
-                prev_kc + n_new_keys
-                if prev_kc is not None and n_new_keys is not None
-                else None
-            ),
-            "next_version": int(rel.rsplit("v", 1)[1]) + 1,
-        }
+        with self._staged_mutex:
+            self._staged[name] = {
+                "parts": dict(prev.get("parts", {})),
+                "part_rows": dict(prev.get("part_rows", {})),
+                "deltas": list(prev.get("deltas", [])) + [rel],
+                "delta_rows": (
+                    list(prev_dr or []) + [n]
+                    if prev_dr is not None or not prev.get("deltas")
+                    else None  # legacy deltas without counts stay unknown
+                ),
+                # delta keys already in the table update in place; only
+                # the caller knows how many are genuinely new (e.g. the
+                # epoch's inserted count) — without it the exact size
+                # becomes unknown
+                "key_count": (
+                    prev_kc + n_new_keys
+                    if prev_kc is not None and n_new_keys is not None
+                    else None
+                ),
+                "next_version": int(rel.rsplit("v", 1)[1]) + 1,
+            }
 
     def stage_append_ref(
         self, name: str, rels: list[str], replace: bool = False
@@ -469,15 +484,16 @@ class IcebergLike:
         rows = [_dir_row_count(os.path.join(self.root, r)) for r in rels]
         paths = [] if replace else list(prev.get("paths", []))
         prev_pr = [] if replace else prev.get("path_rows")
-        self._staged[name] = {
-            "paths": paths + list(rels),
-            "path_rows": (
-                list(prev_pr or []) + rows
-                if prev_pr is not None or not paths
-                else None
-            ),
-            "next_version": prev.get("next_version", 1),
-        }
+        with self._staged_mutex:
+            self._staged[name] = {
+                "paths": paths + list(rels),
+                "path_rows": (
+                    list(prev_pr or []) + rows
+                    if prev_pr is not None or not paths
+                    else None
+                ),
+                "next_version": prev.get("next_version", 1),
+            }
 
     def staged_delta_rels(self, name: str) -> list[str]:
         """Pending delta file-set rel paths (staged view)."""
@@ -559,15 +575,16 @@ class IcebergLike:
         prev = self._staged.get(name) or self.manifest["tables"].get(name, {})
         paths = list(prev.get("paths", []))
         prev_pr = prev.get("path_rows")
-        self._staged[name] = {
-            "paths": paths + [rel],
-            "path_rows": (
-                list(prev_pr or []) + [_dir_row_count(absdir)]
-                if prev_pr is not None or not paths
-                else None  # legacy appends without counts stay unknown
-            ),
-            "next_version": int(rel.rsplit("v", 1)[1]) + 1,
-        }
+        with self._staged_mutex:
+            self._staged[name] = {
+                "paths": paths + [rel],
+                "path_rows": (
+                    list(prev_pr or []) + [_dir_row_count(absdir)]
+                    if prev_pr is not None or not paths
+                    else None  # legacy appends without counts stay unknown
+                ),
+                "next_version": int(rel.rsplit("v", 1)[1]) + 1,
+            }
 
     # --------------------------------------------------------------- commit
     def commit(self, epoch: int) -> None:
@@ -576,7 +593,16 @@ class IcebergLike:
         The ``os.replace`` of the manifest is the commit point (crash
         before it → old snapshot intact; crash after → new snapshot
         fully visible). Mirrors Iceberg's atomic metadata swap.
+
+        Acquires ``write_lock`` itself (reentrant — transaction holders
+        are unaffected): a direct caller publishing beside a streaming
+        transaction serializes at the commit point by construction
+        instead of relying purely on call-site convention.
         """
+        with self.write_lock:
+            self._commit_locked(epoch)
+
+    def _commit_locked(self, epoch: int) -> None:
         new = {
             "snapshot_id": self.manifest["snapshot_id"] + 1,
             "epoch": epoch,
@@ -655,7 +681,13 @@ class IcebergLike:
 
         The survivor set spans ALL tables' committed paths: a staged
         by-reference entry (stage_append_ref) may point at files that
-        are committed under their owning table."""
+        are committed under their owning table.
+
+        Acquires ``write_lock`` (see :meth:`commit`)."""
+        with self.write_lock:
+            self._rollback_staged_locked()
+
+    def _rollback_staged_locked(self) -> None:
         committed: set[str] = set()
         for cname in self.manifest["tables"]:
             committed |= set(
