@@ -198,10 +198,15 @@ def hyperplane_near_dup_pairs(
     every band value → ~10^14 candidates in one bucket); rank-by-vec_id
     keep-k compiles to WindowGroupLimit, so hot buckets bound map-side
     (see dedup.DEFAULT_BUCKET_CAP; log_dropped=True WARNs what was
-    capped). Caveat: band values carry only n_planes//bands bits (256
-    values at the defaults), so at ≥10^7 vectors the cap binds on
-    ORDINARY buckets too — scale n_planes/bands up so buckets stay
-    selective; the cap is a safety valve, not the scaling mechanism.
+    capped). Caveat: band values carry only n_planes//bands bits —
+    256 distinct values at the defaults — so ORDINARY (non-boilerplate)
+    buckets average above the 512 cap from roughly 256×512 ≈ 1.3×10^5
+    vectors and candidate recall degrades from there, NOT only at 10^7:
+    scale n_planes/bands with corpus size so buckets stay selective
+    (e.g. 128 planes/8 bands → 65k band values carries ~3×10^7), and
+    run with log_dropped=True (or monitor band_bucket_overflow) in any
+    production pipeline; the cap is a safety valve, not the scaling
+    mechanism.
     """
     if dim is None:
         first = embeddings.select(F.size("embedding")).first()
@@ -573,8 +578,25 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = stride_centroids(embeddings, every)
-    assign = assign_centroids(embeddings, every, centroids=centroids)
-    emb = embeddings.join(assign, "vec_id")
+    # assignment inlined as a column instead of joining the separate
+    # assign_centroids frame back on vec_id: the assignment is a pure
+    # deterministic function of the embedding, so the join bought
+    # nothing except a second corpus scan plus a shuffle join of the
+    # whole table (identical centroid_id values either way)
+    emb = (
+        embeddings.withColumn("_v", _as_double(F.col("embedding")))
+        # ‖v‖ as its OWN projected column (non-cheap alias stays in its
+        # own project), so the argmax expression references it instead
+        # of re-deriving the norm once per centroid — see _centroid_sims
+        .withColumn("_vn", norm_col(F.col("_v")))
+        .select(
+            "vec_id",
+            "embedding",
+            nearest_centroid_col(
+                F.col("_v"), centroids, v_norm=F.col("_vn")
+            ).alias("centroid_id"),
+        )
+    )
     q = (
         emb.filter(F.col("vec_id").isin(query_ids))
         .select(
