@@ -84,7 +84,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return build_frontier(synth_seeds(spark, sf_dir))
+    # bucket=False: closed-form queries never write the frontier, so
+    # the part_id physical exchange would move the whole table for
+    # nothing (the part_id COLUMN is still computed — rows identical)
+    return build_frontier(synth_seeds(spark, sf_dir), bucket=False)
 
 
 # DuckDB twin of canonical_url_col (same regexes, same branch rules)

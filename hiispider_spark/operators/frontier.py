@@ -82,6 +82,7 @@ def build_frontier(
     interval_s: int = DEFAULT_INTERVAL_S,
     stagger_s: int = 0,
     stagger_seed: int = 42,
+    bucket: bool = True,
 ) -> DataFrame:
     """Seed list → frontier table (O-1 + O-21 initial load).
 
@@ -119,7 +120,7 @@ def build_frontier(
             F.xxhash64(F.col("url_hash"), F.lit(stagger_seed)), F.lit(stagger_s)
         )
         first_ts = first_ts + F.make_interval(secs=offset.cast("double"))
-    return (
+    out = (
         dedup.withColumns(
             {
                 "url_hash": url_hash_udf(url),
@@ -140,8 +141,14 @@ def build_frontier(
             "url", "url_hash", "host", "salt", "part_id", "priority",
             "next_fetch_ts", "interval_s", "retry_count", "state", "plugin",
         )
-        .repartition(n_partitions, "part_id")
     )
+    # physical bucketing by part_id matters only where the frontier is
+    # about to be WRITTEN bucketed (bootstrap, streaming ingest) — the
+    # part_id COLUMN is always present, and every downstream operator
+    # (dequeue window, politeness) re-keys by its own column anyway, so
+    # analytic consumers pass bucket=False and skip a full-table
+    # exchange (rows identical; the shuffle moved no information)
+    return out.repartition(n_partitions, "part_id") if bucket else out
 
 
 def dequeue_topk(

@@ -61,45 +61,52 @@ def host_pagerank(
     edge set. Dangling hosts keep the teleport term only (their mass is
     not redistributed — both engines drop it identically)."""
     spark = edges.sparkSession
+    # Materialize the distinct edge set ONCE, with the plan TRUNCATED
+    # (eager localCheckpoint → LogicalRDD), before any loop structure
+    # references it. This is the load-bearing line: the recurrence
+    # below references `edges` in every iteration's broadcast subtree
+    # plus deg plus nodes, and each of those subtrees re-plans (and,
+    # where exchange reuse misses across re-aliased attribute ids,
+    # RE-RUNS) the whole upstream corpus scan + href-regexp pipeline.
+    # Measured on the host_stats suite: lineage-keeping forms (pure
+    # lazy, .persist()+lazy tower, .persist()+per-step checkpoints)
+    # realized 11–42 s cold in driver-ordered sessions (probe: the
+    # 3-iteration tower alone 31.7 s cold vs 1.9 s warm — five cold
+    # corpus re-derivations), while the checkpointed edge set bounds
+    # the corpus work at exactly ONE scan by construction. O(host-
+    # pairs) narrow rows — orders below corpus size, safe to pin at
+    # any scale.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
     )
-    # edges/nodes are re-joined EVERY iteration — persist them always
-    # (O(host-pairs) / O(hosts) narrow rows, orders below corpus size):
-    # without the persist each iteration job re-derived the edge set
-    # from a full corpus scan (exchanges are not reusable across jobs).
-    # edges are persisted ALREADY HASH-PARTITIONED ON dst, so each
-    # iteration's per-dst contribution aggregate finds its required
-    # distribution in place — zero exchanges inside the loop (guide
-    # §2.4: establish the partitioning once, reuse it every pass).
-    # The nodes.count() below both supplies n and fills both caches.
-    edges = edges.repartition("dst").persist()
-    nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
-        edges.unpersist()
-        nodes.unpersist()
         return spark.createDataFrame([], "host string, rank double")
-    # deg is re-broadcast every iteration — checkpoint the O(hosts)
-    # frame once so those builds never re-scan the edge cache
+    # Deep loops (n_iter > 5) additionally checkpoint each step so the
+    # nested-broadcast tower contrib_i ← contrib_{i-1} ← … never grows
+    # an ever-deeper replan; shallow loops (the frontier re-ranking
+    # shape, n_iter ≤ 5) stay lazy over the checkpointed edges and
+    # materialize in one job at the end. Values are identical either
+    # way: each step rounds to 10 dp, so checkpointing never changes a
+    # value.
+    truncate = n_iter > 5
     deg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("d")
-    ).localCheckpoint(eager=True)
+    )
+    if truncate:
+        deg = deg.localCheckpoint(eager=True)
     base = (1.0 - damping) / n
     # The loop state is the CONTRIBUTION vector (host, c), not the rank
     # vector: rank_i(h) = round(base + damping·c_i(h), 10) with c = 0
     # for hosts nothing links to, so the rank can be re-derived inline
     # wherever needed (on edge sources below, on all nodes at the end).
-    # This drops the per-iteration nodes-join job — each iteration is
-    # ONE aggregate over the dst-partitioned edge cache plus two tiny
-    # broadcast builds. Values are identical to the rank-vector form:
-    # same joins on the same keys, same doubles in the same order.
-    # localCheckpoint each step keeps the per-iteration plan flat (the
-    # nested broadcast tower contrib_i ← contrib_{i-1} ← … otherwise
-    # serializes broadcast builds through ever-deeper replans); each
-    # step rounds to 10 dp, so checkpointing never changes a value.
+    # This drops the per-iteration nodes-join — each iteration is ONE
+    # aggregate over the edge set plus two tiny broadcast builds.
+    # Values are identical to the rank-vector form: same joins on the
+    # same keys, same doubles in the same order.
     contrib = None
     rank_of_c = F.round(
         F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0)), 10
@@ -116,16 +123,12 @@ def host_pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("d")).alias("c"))
             .select(F.col("dst").alias("host"), "c")
-            .localCheckpoint(eager=True)
         )
+        if truncate:
+            contrib = contrib.localCheckpoint(eager=True)
     out = nodes.join(F.broadcast(contrib), "host", "left").select(
         "host", F.round(rank_of_c, 6).alias("rank")
     )
-    # the result no longer references edges/nodes lineage (pr is
-    # checkpointed), so the caches can be dropped immediately
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    nodes.unpersist()
     return out
 
 

@@ -70,6 +70,38 @@ def get_spark(
         # 32 tasks of 200MB+ partitions OOMs; default generously.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
+    # Shuffle/spill scratch on the fastest local device (guide §6:
+    # shuffle bytes are disk bytes). This sandbox's only disk is one
+    # shared virtio device whose multi-second stalls were measured as
+    # the dominant variance in every shuffle-heavy query (identical
+    # code: 2 s quiet vs 16 s under a disk stall), while RAM sits at
+    # <15 % used — so scratch defaults to tmpfs when present. The same
+    # knob on a real cluster points at local NVMe (standard Spark ops
+    # practice); env-overridable either way, and Spark's own
+    # SPARK_LOCAL_DIRS takes precedence if set. State-table WRITES are
+    # unaffected (they go to the catalog root the caller chose).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
+    if not local_dir and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        local_dir = "/dev/shm/spark-scratch"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    # JVM JIT headroom for the generated-code working set (env-tunable;
+    # applies on first JVM launch of the process — later sessions in the
+    # same process inherit it). An analytics session compiles hundreds
+    # of whole-stage-codegen classes; the JVM's 240 MB default code
+    # cache triggers silent flushing (UseCodeCacheFlushing) under that
+    # load, evicting still-hot compiled methods which then run
+    # interpreted again — observed as multi-second stalls that move
+    # from query to query between identical runs. Not parallelism- or
+    # scale-specific: any executor JVM running this engine's plans has
+    # the same generated-code volume.
+    jvm_flags = os.environ.get("SPARK_GRAFT_JVM_FLAGS", "")
+    if jvm_flags:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", jvm_flags
+        ).config("spark.executor.extraJavaOptions", jvm_flags)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
