@@ -48,8 +48,10 @@ from hiispider_spark.operators.multimodal import extract_media_features, synth_m
 from hiispider_spark.schemas import POLITENESS
 from hiispider_spark.sources.synth import (
     SynthConfig,
+    attach_page_payload,
     oracle_ctes,
     synth_pages,
+    synth_pages_narrow,
     synth_robots,
     synth_seeds,
 )
@@ -141,7 +143,7 @@ def _flagship_epoch1(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds → frontier → dequeue → robots → token buckets → fetch join →
     sha1 → extract plugins. Output (url, text, content_sha1)."""
     cfg = SynthConfig.from_sf_dir(spark, sf_dir)
-    pages = synth_pages(spark, sf_dir, cfg)
+    pages_narrow = synth_pages_narrow(spark, sf_dir, cfg)
     robots = synth_robots(spark, sf_dir, cfg)
     fr = _frontier(spark, sf_dir)
     sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
@@ -155,18 +157,28 @@ def _flagship_epoch1(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed, empty_state, EPOCH1_TS, 60.0, tie_break="url"
     )
     granted = bucketed.filter(F.col("granted")).select(*fr.columns)
-    fetched, _failed = fetch_join(granted, pages)
-    ext = run_extraction(with_content_sha1(fetched), epoch=1)
+    # Fetch = join against the page store, but probe the NARROW pages
+    # frame (guide §8: decide with small rows, build heavy bytes once):
+    # the one-shot synth_pages form synthesized html for every corpus
+    # row before the broadcast probe could drop the ~98% of rows no
+    # granted url matches. Joining narrow and attaching the payload
+    # after builds html only for matched rows. Same inner join on the
+    # same unique urls → same rows, same html bytes.
+    fetched = attach_page_payload(
+        pages_narrow.join(F.broadcast(granted), "url", "inner"), cfg
+    ).select(*fr.columns, "warc_ts", "html")
     # DuckDB has no sha1 → the oracle-compared digest is sha2-256.
-    # Attach it by broadcasting the (small) extracted side into a
-    # second pages scan: a plain join here sort-merge-shuffles the
-    # whole html-bearing pages table by url (measured as the plan's
-    # biggest exchange); the broadcast streams pages map-side and the
-    # digest is computed only for matched rows. Same inner join, same
-    # rows.
-    return pages.select("url", "html").join(F.broadcast(ext), "url").select(
-        "url", "text", F.sha2(F.col("html"), 256).alias("content_sha256")
+    # Computed on the SAME html the fetch join carries and passed
+    # through extraction, so the page store is scanned exactly once —
+    # the previous digest-join form re-scanned pages a second time to
+    # re-derive html for matched rows. Same matched rows (ext.url ⊆
+    # pages.url, pages.url unique), same digest bytes, same column
+    # order.
+    fetched = with_content_sha1(fetched).withColumn(
+        "content_sha256", F.sha2(F.col("html"), 256)
     )
+    ext = run_extraction(fetched, epoch=1)
+    return ext.select("url", "text", "content_sha256")
 
 
 # ------------------------------------------------------------------ queries

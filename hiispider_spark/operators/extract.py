@@ -274,7 +274,9 @@ def run_extraction(modified: DataFrame, epoch: int) -> DataFrame:
     plugin UDF (guide §4) — outputs byte-identical to the standalone
     ``routed_extract_udf`` / ``links_extract_udf`` pair (same impls).
     """
-    carry = ["part_id"] if "part_id" in modified.columns else []
+    carry = [
+        c for c in ("part_id", "content_sha256") if c in modified.columns
+    ]
     plugin = (
         F.col("plugin")
         if "plugin" in modified.columns

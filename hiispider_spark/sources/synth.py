@@ -72,10 +72,17 @@ def _url(i: Column, n_hosts: int) -> Column:
     )
 
 
-def synth_pages(
+def synth_pages_narrow(
     spark: SparkSession, sf_dir: str, cfg: SynthConfig | None = None
 ) -> DataFrame:
-    """The ``pages`` table — (url, warc_ts, html:binary, text, lang)."""
+    """Pages WITHOUT the heavy payload projections —
+    (i, url, warc_ts, doc_text, lang). The html/text expressions (the
+    per-row cost of the pages table) are added by
+    :func:`attach_page_payload`; ``synth_pages`` composes the two. A
+    consumer that joins pages down to a small slice can join THIS frame
+    and attach the payload after — the guide-§8 "decide with small
+    rows, build heavy bytes once" shape — instead of synthesizing html
+    for every corpus row and discarding the misses."""
     cfg = cfg or SynthConfig.from_sf_dir(spark, sf_dir)
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -93,6 +100,26 @@ def synth_pages(
     )
     # documents is tiny (500–5000 rows) → broadcast hash join, no shuffle
     df = base.join(F.broadcast(docs), "doc_id")
+    return df.select(
+        i.alias("i"),
+        _url(i, cfg.n_hosts).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH0_UNIX) + (i * 37) % 86400).alias(
+            "warc_ts"
+        ),
+        F.col("doc_text"),
+        F.col("lang"),
+    )
+
+
+def attach_page_payload(df: DataFrame, cfg: SynthConfig) -> DataFrame:
+    """Add the html/text payload columns to a (subset of the) narrow
+    pages frame. Pure projection over the carried (i, doc_text)
+    columns — same expressions as the one-shot ``synth_pages``, so
+    attach(narrow) ≡ synth_pages row for row. Extra columns on ``df``
+    (e.g. a joined frontier slice's) pass through untouched;
+    ``doc_text`` is consumed."""
+    i = F.col("i")
+    n = cfg.n_pages
     text = F.format_string("%s #%d", F.col("doc_text"), i)
     j1, j2 = (i * 7 + 1) % n, (i * 13 + 2) % n
     html_s = F.format_string(
@@ -101,16 +128,21 @@ def synth_pages(
         _url(j2, cfg.n_hosts),
         text,
     )
+    keep = [c for c in df.columns if c not in ("doc_text", "lang")]
     return df.select(
-        i.alias("i"),
-        _url(i, cfg.n_hosts).alias("url"),
-        F.timestamp_seconds(F.lit(EPOCH0_UNIX) + (i * 37) % 86400).alias(
-            "warc_ts"
-        ),
+        *keep,
         F.encode(html_s, "UTF-8").alias("html"),
         text.alias("text"),
         F.col("lang"),
     )
+
+
+def synth_pages(
+    spark: SparkSession, sf_dir: str, cfg: SynthConfig | None = None
+) -> DataFrame:
+    """The ``pages`` table — (url, warc_ts, html:binary, text, lang)."""
+    cfg = cfg or SynthConfig.from_sf_dir(spark, sf_dir)
+    return attach_page_payload(synth_pages_narrow(spark, sf_dir, cfg), cfg)
 
 
 def synth_seeds(

@@ -107,6 +107,55 @@ def test_run_extraction_uses_row_plugin(spark, tiny_pages):
     assert out.filter(F.size("items") != 2).count() == 0
 
 
+def test_run_extraction_carries_sha256(spark, tiny_pages):
+    # content_sha256 (the flagship's oracle digest, computed on the
+    # fetch scan) passes through extraction untouched; absent → absent
+    slice_ = tiny_pages.limit(10).select(
+        F.col("i").cast("long").alias("url_hash"),
+        "url",
+        "html",
+        F.sha1("html").alias("content_sha1"),
+        F.sha2(F.col("html"), 256).alias("content_sha256"),
+    )
+    out = run_extraction(slice_, epoch=1)
+    assert "content_sha256" in out.columns
+    joined = out.select("url", "content_sha256").join(
+        slice_.select("url", F.sha2(F.col("html"), 256).alias("want")), "url"
+    )
+    assert joined.filter(F.col("content_sha256") != F.col("want")).count() == 0
+    out_no = run_extraction(slice_.drop("content_sha256"), epoch=1)
+    assert "content_sha256" not in out_no.columns
+
+
+def test_attach_payload_after_subset_join(spark):
+    # the flagship's shape: join the NARROW pages frame down to a
+    # slice, attach the payload after — html/text must be byte-equal
+    # to the one-shot synth_pages rows for the same urls (FIXTURES.md
+    # closed form), and extra join columns must pass through
+    from hiispider_spark.sources.synth import (
+        attach_page_payload,
+        synth_pages,
+        synth_pages_narrow,
+    )
+    from tests.conftest import SF_DIR, TINY
+
+    whole = synth_pages(spark, SF_DIR, TINY)
+    keys = whole.filter(F.col("i") % 37 == 0).select(
+        "url", F.lit(1.25).alias("prio")
+    )
+    attached = attach_page_payload(
+        synth_pages_narrow(spark, SF_DIR, TINY).join(keys, "url"), TINY
+    )
+    assert "prio" in attached.columns
+    want = whole.join(keys.select("url"), "url").select(
+        "url", "html", "text", "warc_ts", "lang"
+    )
+    got = attached.select("url", "html", "text", "warc_ts", "lang")
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+    assert got.count() == keys.count()
+
+
 def test_evaluate_boolean(spark):
     df = spark.createDataFrame(
         [("true",), ("YES",), ("1",), ("false",), ("0",), ("",)], "v string"
