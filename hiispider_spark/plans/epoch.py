@@ -343,13 +343,24 @@ def run_epoch(
         fetched_meta.select("url"), "url", "left_anti"
     ).persist()
     # ONE job materializes politeness + fetch + sha1 + the slim meta
-    # twin + failed (the fused sched/fetch stage): computing failed
-    # scans fetched_meta, whose projection pulls the DISK_ONLY fetched
-    # cache into existence through the whole upstream chain. n_fetched
-    # is then a cached-read count (cheap second job), and the stats
-    # arithmetic closes as granted = fetched ⊎ failed.
-    n_failed = failed.count()
-    n_fetched = fetched_meta.count()
+    # twin + failed (the fused sched/fetch stage) AND yields both
+    # counts: computing the failed branch scans fetched_meta, whose
+    # projection pulls the DISK_ONLY fetched cache into existence
+    # through the whole upstream chain; the fetched branch then reads
+    # the just-filled cache. Folding the two counts into one union-agg
+    # job drops a full scheduling round per epoch (the count was cheap
+    # but its job round-trip was not — the per-epoch fixed constant is
+    # what caps scaling efficiency). Stats arithmetic still closes as
+    # granted = fetched ⊎ failed.
+    _counts = dict(
+        failed.select(F.lit("f").alias("k"))
+        .unionByName(fetched_meta.select(F.lit("m").alias("k")))
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+    n_failed = int(_counts.get("f", 0))
+    n_fetched = int(_counts.get("m", 0))
     _mark("politeness_fetch")
 
     # Eager write scheduling (guide §2.6 "overlap independent jobs"):
