@@ -45,7 +45,7 @@ from hiispider_spark.operators.frontier import (
     requeue_fetched,
 )
 from hiispider_spark.operators.multimodal import extract_media_features, synth_media
-from hiispider_spark.schemas import POLITENESS
+from hiispider_spark.schemas import POLITENESS, empty_frame
 from hiispider_spark.sources.synth import (
     SynthConfig,
     attach_page_payload,
@@ -148,7 +148,7 @@ def _flagship_epoch1(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = _frontier(spark, sf_dir)
     sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
     allowed, _denied = pol.split_robots(sl, robots)
-    empty_state = spark.createDataFrame([], POLITENESS)
+    empty_state = empty_frame(spark, POLITENESS)
     # column twin of the pandas token bucket — proved row-identical by
     # test_politeness (and two full epochs byte-identical under both
     # impls); pure scheduling, no batched-HTTP stage to host, so the
@@ -253,7 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fr = _frontier(spark, sf)
         sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
         allowed, _ = pol.split_robots(sl, robots)
-        empty = spark.createDataFrame([], POLITENESS)
+        empty = empty_frame(spark, POLITENESS)
         # column twin of the pandas grant (row-identical, pytest-pinned)
         # — pure scheduling analytics, no batched-HTTP stage to host,
         # so the JVM window form applies. tie_break="url": the output is
@@ -277,7 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fr = _frontier(spark, sf)
         sl = dequeue_topk(fr, EPOCH1_TS, BIG_K)
         allowed, _ = pol.split_robots(sl, robots)
-        empty = spark.createDataFrame([], POLITENESS)
+        empty = empty_frame(spark, POLITENESS)
         # tie_break="url" for the same count-invariance/pruning reason
         # as q_politeness_budget above
         bucketed = pol.apply_token_buckets_col(

@@ -84,7 +84,8 @@ def host_pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return spark.createDataFrame([], "host string, rank double")
+        from hiispider_spark.schemas import empty_frame
+        return empty_frame(spark, "host string, rank double")
     # Deep loops (n_iter > 5) additionally checkpoint each step so the
     # nested-broadcast tower contrib_i ← contrib_{i-1} ← … never grows
     # an ever-deeper replan; shallow loops (the frontier re-ranking

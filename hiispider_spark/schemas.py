@@ -175,3 +175,25 @@ ALL_TABLES = {
     "extracted": EXTRACTED,
     "lineage": LINEAGE,
 }
+
+
+def empty_frame(spark, schema: T.StructType | str):
+    """0-row DataFrame Catalyst can PROVE empty.
+
+    ``spark.createDataFrame([], schema)`` is RDD-backed, so the
+    optimizer cannot see through it and a join against it still plans
+    a full exchange+sort (the empty politeness state cost every
+    closed-form query a SortMergeJoin that AQE only rescued at
+    runtime). A ``range(0)`` projection is a plan-time-empty relation:
+    ``PropagateEmptyRelation`` folds outer joins / unions against it
+    away entirely. Same rows (none), same schema names/types; columns
+    come out nullable, which every consumer (outer-join echo, delta
+    resolve union, parquet append) already tolerates.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

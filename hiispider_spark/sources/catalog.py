@@ -157,7 +157,7 @@ class IcebergLike:
             schema = schemas.ALL_TABLES.get(name)
             if schema is None:
                 raise KeyError(f"unknown table {name!r} with no snapshot")
-            return self.spark.createDataFrame([], schema)
+            return schemas.empty_frame(self.spark, schema)
         paths = [os.path.join(self.root, p) for p in rels]
         # explicit schema wherever it is declared: skips the driver-side
         # footer-sniffing pass on every read (a per-epoch fixed cost —
@@ -271,7 +271,7 @@ class IcebergLike:
             return self.read(name).filter(F.col(part_col).isin(list(parts)))
         rels = [entry["parts"][str(p)] for p in parts if str(p) in entry["parts"]]
         base = self._read_rels(name, rels) if rels else (
-            self.spark.createDataFrame([], schemas.ALL_TABLES[name])
+            schemas.empty_frame(self.spark, schemas.ALL_TABLES[name])
         )
         if entry.get("deltas"):
             # a key's bucket never changes across versions, so pruning
@@ -557,7 +557,7 @@ class IcebergLike:
                 entry["parts"][str(p)] for p in dparts if str(p) in entry["parts"]
             ]
             base = self._read_rels(name, rels) if rels else (
-                self.spark.createDataFrame([], schemas.ALL_TABLES[name])
+                schemas.empty_frame(self.spark, schemas.ALL_TABLES[name])
             )
             resolved = self._resolve(name, base, latest, delta_rows)
             self.stage_overwrite_parts(
