@@ -639,12 +639,29 @@ def run_epoch(
             frontier_delta = frontier_delta.unionByName(
                 inserted.select(*FRONTIER_COLS)
             )
-        # the 3-way union stacks ~3×P partitions → 3×P files; merge
-        # narrow (no shuffle) down to a row-count-derived file count
-        # (delta rows ≈ dequeued slice + inserts, both already counted)
-        frontier_delta = frontier_delta.coalesce(
-            _delta_files(n_dequeued + n_inserted, cfg.n_partitions)
+        # fold-on-write: when the pre-write accounting already proves
+        # the compaction bound will trip this epoch (prior staged delta
+        # rows/file-sets plus this epoch's upper bound n_dequeued +
+        # n_inserted ≥ the same bounds compact() checks post-write),
+        # write the resolved buckets ONCE via stage_upsert_fold instead
+        # of delta-append + immediate compact — identical end state,
+        # half the write bytes, and the O(delta-buckets) rewrite moves
+        # into the overlapped write pool instead of running serially
+        # after it. The upper bound can fold at most one epoch earlier
+        # than the post-write exact counts — strictly tighter on the
+        # invariants the bounds protect (read fan-in, resolve key-set).
+        fold_frontier = (
+            cat.delta_count("frontier") + 1 >= cfg.compact_every
+            or cat.delta_row_count("frontier") + n_dequeued + n_inserted
+            >= cfg.compact_delta_rows
         )
+        if not fold_frontier:
+            # the 3-way union stacks ~3×P partitions → 3×P files; merge
+            # narrow (no shuffle) down to a row-count-derived file count
+            # (delta rows ≈ dequeued slice + inserts, already counted)
+            frontier_delta = frontier_delta.coalesce(
+                _delta_files(n_dequeued + n_inserted, cfg.n_partitions)
+            )
         new_frontier = None
     else:
         # partition-level overwrite: only buckets this epoch touched
@@ -671,7 +688,12 @@ def run_epoch(
 
     # frontier + seen writes are the last to become schedulable (they
     # need the inserted set); everything else is already in flight
-    if cfg.state_deltas:
+    if cfg.state_deltas and fold_frontier:
+        frontier_job = lambda: cat.stage_upsert_fold(  # noqa: E731
+            "frontier", frontier_delta, "part_id",
+            n_rows=n_dequeued + n_inserted,
+        )
+    elif cfg.state_deltas:
         frontier_job = lambda: cat.stage_append_delta(  # noqa: E731
             "frontier", frontier_delta, n_new_keys=n_inserted
         )
@@ -706,7 +728,18 @@ def run_epoch(
     finally:
         pool.shutdown(wait=False)
     if cfg.state_deltas:
-        if ins_parts:
+        if fold_frontier:
+            # the fold wrote resolved bucket files and cleared every
+            # frontier delta inside the pool — swap seen_exact to
+            # reference exactly those bucket files (same move the
+            # post-hoc compact branch makes) and record the fold as
+            # this epoch's frontier compaction.
+            cat.stage_append_ref(
+                "seen_exact", cat.staged_part_rels("frontier"),
+                replace=True,
+            )
+            compacted.append("frontier")
+        elif ins_parts:
             # seen_exact ⊇ frontier membership and frontier rows are
             # never deleted → the just-written frontier delta (which
             # contains every inserted row's url_hash, plus harmless

@@ -567,6 +567,64 @@ class IcebergLike:
             latest.unpersist()
         return dparts
 
+    def stage_upsert_fold(
+        self,
+        name: str,
+        df: DataFrame,
+        part_col: str = "part_id",
+        n_rows: int | None = None,
+    ) -> list[int]:
+        """Delta-mode upsert that FOLDS in the same write: the staged
+        end-state is identical to ``stage_append_delta(df)`` followed by
+        ``compact(name)`` — delta-bearing buckets rewritten resolved,
+        every delta cleared — but the changed rows are written ONCE,
+        straight into resolved bucket files, instead of twice (a delta
+        file set that the compaction immediately rewrites). The epoch
+        calls this when its pre-write accounting already knows the
+        compaction bound will trip: writing the delta first doubles the
+        write bytes and serializes an O(delta-buckets) rewrite after the
+        write pool — measured as the single largest non-scaling term of
+        a bound-tripping epoch (the write path is disk-bound, so it does
+        not shrink with cores). ``n_rows``: upper bound on ``df``'s row
+        count (keeps the resolve's broadcast gate decidable without a
+        job). Returns the rewritten partition ids."""
+        if name not in MERGE_KEYS:
+            raise KeyError(f"no merge key registered for table {name!r}")
+        entry = self._staged.get(name) or self.manifest["tables"].get(name, {})
+        prior_rows = self._entry_delta_rows(entry)
+        latest = df
+        if entry.get("deltas"):
+            # this epoch's rows are newest — they shadow prior deltas;
+            # _resolve(prior, df) = prior minus df's keys, union df
+            prior = self._delta_latest(name, entry)
+            latest = self._resolve(name, prior, df.select(*prior.columns),
+                                   n_rows)
+        latest = latest.persist()
+        try:
+            dparts = sorted(
+                r[0] for r in latest.select(part_col).distinct().collect()
+            )
+            rels = [
+                entry["parts"][str(p)]
+                for p in dparts
+                if str(p) in entry.get("parts", {})
+            ]
+            base = self._read_rels(name, rels) if rels else (
+                schemas.empty_frame(self.spark, schemas.ALL_TABLES[name])
+            )
+            total = (
+                prior_rows + n_rows
+                if prior_rows is not None and n_rows is not None
+                else (n_rows if not entry.get("deltas") else None)
+            )
+            resolved = self._resolve(name, base, latest, total)
+            self.stage_overwrite_parts(
+                name, resolved, part_col, dparts, clear_deltas=True
+            )
+        finally:
+            latest.unpersist()
+        return dparts
+
     def stage_append(self, name: str, df: DataFrame) -> None:
         """Append a new data file set to ``name`` (extracted, lineage —
         the append-only fact tables)."""

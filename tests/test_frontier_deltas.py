@@ -175,6 +175,93 @@ def test_compaction_preserves_state_and_clears_deltas(
         shutil.rmtree(b.root, ignore_errors=True)
 
 
+def test_upsert_fold_equals_delta_plus_compact(spark, tiny_seeds):
+    """stage_upsert_fold (fold-on-write) must stage the exact end-state
+    of stage_append_delta + compact — same resolved rows, no pending
+    deltas, same rewritten buckets — while writing the changed rows
+    once instead of twice."""
+    from hiispider_spark.operators.frontier import build_frontier
+
+    cats = {}
+    try:
+        fr = build_frontier(tiny_seeds, n_partitions=8)
+        for tag in ("ab", "fold"):
+            root = tempfile.mkdtemp(prefix=f"fd_uf_{tag}_")
+            cat = IcebergLike(spark, root)
+            cat.stage_overwrite_parts("frontier", fr, "part_id", list(range(8)))
+            cat.commit(epoch=0)
+            cats[tag] = cat
+        # delta 1 (committed in both): a deterministic key slice
+        # advances its schedule (limit() would pick arbitrary rows)
+        def d1(cat):
+            return (
+                cat.read("frontier")
+                .filter(F.pmod(F.col("url_hash"), F.lit(3)) == 0)
+                .withColumn("retry_count", F.lit(1))
+            )
+        # delta 2: an overlapping deterministic slice flips state
+        def d2(cat):
+            return (
+                cat.read("frontier")
+                .filter(F.pmod(F.col("url_hash"), F.lit(2)) == 0)
+                .withColumn("state", F.lit("done"))
+            )
+        for cat in cats.values():
+            cat.stage_append_delta("frontier", d1(cat))
+            cat.commit(epoch=1)
+        a, b = cats["ab"], cats["fold"]
+        a.stage_append_delta("frontier", d2(a))
+        a.compact("frontier")
+        a.commit(epoch=2)
+        b.stage_upsert_fold("frontier", d2(b), "part_id", n_rows=200)
+        b.commit(epoch=2)
+        assert _frontier_rows(a) == _frontier_rows(b)
+        ea, eb = _manifest_entry(a), _manifest_entry(b)
+        assert not ea.get("deltas") and not eb.get("deltas")
+        assert sorted(ea["parts"]) == sorted(eb["parts"])
+        assert a.row_count("frontier") == b.row_count("frontier") == (
+            b.read("frontier").count()
+        )
+        # newest-wins held through the fold: one row per key
+        n_keys = b.read("frontier").select("url_hash").distinct().count()
+        assert b.read("frontier").count() == n_keys
+    finally:
+        for cat in cats.values():
+            shutil.rmtree(cat.root, ignore_errors=True)
+
+
+def test_epoch_fold_on_write_matches_post_hoc_compaction(
+    spark, tiny_seeds, tiny_pages, tiny_robots
+):
+    """A run_epoch whose pre-write accounting trips the compaction bound
+    takes the fold-on-write path (no delta files ever written) and must
+    land the same frontier AND seen_exact state as the delta+compact
+    flow it replaces; the fold is reported via the compacted stat."""
+    compact_cfg = replace(DELTA_CFG, compact_every=2)
+    a = _mk_cat(spark, tiny_seeds, DELTA_CFG, "fd_fw_nc_")
+    b = _mk_cat(spark, tiny_seeds, compact_cfg, "fd_fw_c_")
+    try:
+        sts = []
+        for _ in range(3):
+            run_epoch(spark, a, tiny_pages, tiny_robots, DELTA_CFG)
+            sts.append(
+                run_epoch(spark, b, tiny_pages, tiny_robots, compact_cfg)
+            )
+        # epochs 2+ trip the file-count bound pre-write → folds
+        assert any("frontier" in st["compacted"] for st in sts[1:])
+        assert len(_manifest_entry(b).get("deltas", [])) <= 1
+        assert _frontier_rows(a) == _frontier_rows(b)
+        sa = {r.url_hash for r in a.read("seen_exact").collect()}
+        sb = {r.url_hash for r in b.read("seen_exact").collect()}
+        assert sa == sb
+        # folded epochs reference frontier bucket files, not delta dirs
+        entry = _manifest_entry(b, "seen_exact")
+        assert all(p.startswith("frontier/") for p in entry["paths"])
+    finally:
+        shutil.rmtree(a.root, ignore_errors=True)
+        shutil.rmtree(b.root, ignore_errors=True)
+
+
 def test_resolve_broadcast_size_gate(spark, tiny_seeds):
     """The merge-on-read resolve force-broadcasts the delta key set
     only while manifest counts prove it small; past the bound the join
